@@ -1,0 +1,13 @@
+from swtpu.bank.buckets import BucketPlan, plan_buckets
+from swtpu.bank.packer import PackedBatch, pack_pairs, pack_many_vs_one
+from swtpu.bank.scorebank import ScoreBank, ScoreResult
+
+__all__ = [
+    "BucketPlan",
+    "plan_buckets",
+    "PackedBatch",
+    "pack_pairs",
+    "pack_many_vs_one",
+    "ScoreBank",
+    "ScoreResult",
+]

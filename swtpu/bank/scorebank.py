@@ -1,0 +1,110 @@
+"""ScoreBank — the high-level batched scoring engine.
+
+TPU-native equivalent of the reference's top-level bank
+(ScoreBank/ScoreBank_v2.v): load penalties once, load a query, stream a
+database of targets through, and collect ID-tagged scores — plus the
+capability the reference declared but never finished: bank-wide best-hit /
+top-K reporting (the dangling `max`/`vld_max` ports,
+ScoreBank/ScoreBank_v2.v:42-43, and the ResBuffer stub,
+CAPI_template/ResBuffer.v).
+
+Where the hardware dispatches each read to the first non-full feeder via a
+priority encoder (ScoreBank_v2.v:141-165), swtpu buckets reads by length
+into a handful of static shapes and lets XLA pipeline the dense batches
+through the scoring kernel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from swtpu.bank.packer import pack_many_vs_one
+from swtpu.config import DEFAULT_PENALTIES, Penalties, SWConfig
+
+
+@dataclasses.dataclass
+class ScoreResult:
+    """Scores for one query against a database, in database read order."""
+
+    scores: np.ndarray  # [n_reads] int32
+    cells: int  # real DP cells scored (for GCUPS)
+    padded_cells: int  # total padded cells dispatched
+    elapsed_s: float
+
+    @property
+    def gcups(self) -> float:
+        return self.cells / self.elapsed_s / 1e9 if self.elapsed_s > 0 else 0.0
+
+    def top_k(self, k: int) -> List[tuple]:
+        """(score, read_index) best hits, stable order — the reference's
+        unfinished `max`/`vld_max` intent."""
+        idx = np.argsort(-self.scores, kind="stable")[:k]
+        return [(int(self.scores[i]), int(i)) for i in idx]
+
+
+class ScoreBank:
+    """Batched many-vs-one scorer with pluggable kernel backend.
+
+    backend: 'scan' (portable lax.scan), 'pallas' (TPU kernel), or a
+    callable (q, t, penalties) -> scores for testing.
+    """
+
+    def __init__(
+        self,
+        config: SWConfig = SWConfig(),
+        backend: str = "auto",
+        interpret: Optional[bool] = None,
+    ):
+        self.config = config
+        import jax
+
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() == "tpu" else "scan"
+        self.backend = backend
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        self._interpret = interpret
+
+    def _score_batch(self, q: np.ndarray, t: np.ndarray) -> np.ndarray:
+        pen = self.config.penalties
+        if callable(self.backend):
+            return np.asarray(self.backend(q, t, pen))
+        if self.backend == "scan":
+            from swtpu.ops.scan import sw_scores_scan
+
+            return np.asarray(sw_scores_scan(q, t, pen))
+        if self.backend == "pallas":
+            from swtpu.ops.pallas_kernel import sw_scores_pallas
+
+            return np.asarray(sw_scores_pallas(q, t, pen, interpret=self._interpret))
+        raise ValueError(f"unknown backend {self.backend!r}")
+
+    def score_database(
+        self,
+        query: np.ndarray,
+        targets: Sequence[np.ndarray],
+    ) -> ScoreResult:
+        """Score every target read against `query`; returns read-order scores."""
+        cfg = self.config
+        t0 = time.perf_counter()
+        batches = pack_many_vs_one(
+            query,
+            targets,
+            bucket_lens=cfg.target_buckets,
+            q_width=max(8, -(-len(query) // 8) * 8),
+        )
+        scores = np.zeros((len(targets),), dtype=np.int32)
+        cells = 0
+        padded = 0
+        for batch in batches:
+            s = self._score_batch(batch.q, batch.t)
+            live = batch.ids >= 0
+            scores[batch.ids[live]] = s[live]
+            cells += batch.cells
+            padded += batch.padded_cells
+        elapsed = time.perf_counter() - t0
+        return ScoreResult(scores, cells, padded, elapsed)

@@ -1,0 +1,183 @@
+"""Pallas TPU kernel for batched Smith-Waterman scoring.
+
+TPU-native redesign of the reference's systolic ScoringModule
+(ScoreBank/ScoringModule_v1.1.v): instead of one processing element per
+query base advancing one anti-diagonal per clock, the kernel vectorizes the
+*batch of alignment pairs* across VPU lanes and computes one full DP column
+(all query rows of every pair in the block) per inner-loop step.
+
+Layout (chosen so the per-step target-base broadcast is free):
+
+    state M, I, H : [m, Bt]  — query dim on sublanes, pairs on lanes
+    query  q      : [m, Bt]  int8
+    targets t     : [n, Bt]  int8 — step j reads row j, broadcasting the
+                               per-pair target base across all query rows
+
+The merged in-del matrix's intra-column dependency
+``I[i] = max(base[i], I[i-1] + ge)`` is a tropical (max-plus) prefix scan,
+done in log2(m) Hillis-Steele steps of sublane-roll + add + max — the
+vectorized equivalent of the PE chain's per-cycle systolic ripple
+(ScoreBank/SW_ProcessingElement_v1.0.v:126-129).
+
+Grid: one program per pair-block; XLA pipelines the HBM->VMEM streaming of
+query/target blocks across programs (the role of the reference's SM_feeder
+double-buffering, ScoreBank/SM_Feeder2.v:104-110).
+
+Inputs must follow the sentinel-padding contract (swtpu.ops.common), so the
+kernel contains no masks or length logic at all.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from swtpu.config import DEFAULT_PENALTIES, Penalties
+
+
+def _shift_down(x: jnp.ndarray, k: int, fill: jnp.ndarray, row_iota) -> jnp.ndarray:
+    """out[i] = x[i-k] along the query (sublane) axis; rows < k get `fill`."""
+    rolled = pltpu.roll(x, k, axis=0)
+    return jnp.where(row_iota < k, fill, rolled)
+
+
+# Target rows are consumed in aligned chunks of `chunk` rows so the dynamic
+# sublane start index is provably a multiple of the int8 tile height (32);
+# within a chunk the per-row steps are Python-unrolled with static offsets.
+T_CHUNK = 32
+
+
+def _sw_kernel(q_ref, t_ref, out_ref, *, ma, mi, go, ge, unroll, chunk):
+    m, bt = q_ref.shape
+    n = t_ref.shape[0]
+    dt = jnp.int32
+    neg = jnp.array(-(2**30), dt)
+    zero = jnp.array(0, dt)
+    row_iota = jax.lax.broadcasted_iota(dt, (m, 1), 0)
+    # compare in int32 so the predicate has int32 layout (int8 i1 vectors
+    # force an unsupported relayout on current Mosaic)
+    q = q_ref[:, :].astype(dt)
+    # candidate fed to row 0 by the boundary I[-1][j] = 0 (RTL ZERO ties,
+    # SW_ProcessingElement_v1.0.v:156-164)
+    i0_bias = jnp.where(row_iota == 0, jnp.array(ge, dt), neg)
+    oe = jnp.array(go + ge, dt)
+    gext = jnp.array(ge, dt)
+
+    def one_column(t_row, carry):
+        M, I, H = carry
+        s = jnp.where(q == t_row, ma, mi).astype(dt)
+        diag = jnp.maximum(M, I)
+        diag_s = _shift_down(diag, 1, zero, row_iota)
+        M_new = jnp.maximum(diag_s + s, 0)
+        M_up = _shift_down(M_new, 1, zero, row_iota)
+        base = jnp.maximum(
+            jnp.maximum(M_up, M) + oe,
+            jnp.maximum(I + gext, i0_bias),
+        )
+        # max-plus prefix scan along query rows
+        x = base
+        k = 1
+        while k < m:
+            x = jnp.maximum(x, _shift_down(x, k, neg, row_iota) + jnp.array(k * ge, dt))
+            k *= 2
+        H = jnp.maximum(H, M_new)
+        return M_new, x, H
+
+    def chunk_step(jc, carry):
+        start = pl.multiple_of(jc * chunk, chunk)
+        tc = t_ref[pl.ds(start, chunk), :].astype(dt)
+        for r in range(chunk):
+            carry = one_column(tc[r : r + 1, :], carry)
+        return carry
+
+    init = (
+        jnp.zeros((m, bt), dt),
+        jnp.zeros((m, bt), dt),  # boundary column I = 0 (RTL ZERO tie)
+        jnp.zeros((m, bt), dt),
+    )
+    _, _, H = jax.lax.fori_loop(0, n // chunk, chunk_step, init, unroll=unroll)
+    out_ref[0, :] = jnp.max(H, axis=0)
+
+
+def _block_pairs_default(m: int) -> int:
+    # keep ~3 int32 state arrays + temps comfortably inside VMEM
+    if m <= 128:
+        return 1024
+    if m <= 256:
+        return 512
+    return 256
+
+
+@functools.partial(
+    jax.jit, static_argnames=("penalties", "block_pairs", "interpret", "unroll")
+)
+def sw_scores_pallas(
+    q: jnp.ndarray,
+    t: jnp.ndarray,
+    penalties: Penalties = DEFAULT_PENALTIES,
+    block_pairs: int | None = None,
+    interpret: bool = False,
+    unroll: int = 4,
+) -> jnp.ndarray:
+    """Score a batch of (query, target) pairs on TPU.
+
+    Args:
+      q: [B, m] int8 base codes, sentinel-padded (Q_PAD).
+      t: [B, n] int8 base codes, sentinel-padded (T_PAD).
+      penalties: static scoring penalties.
+      block_pairs: pairs per kernel block (lane-tiled); auto if None.
+      interpret: run in Pallas interpreter mode (CPU testing).
+      unroll: inner-loop unroll factor.
+
+    Returns: [B] int32 scores.
+    """
+    from swtpu.ops.common import Q_PAD, T_PAD
+
+    ma, mi, go, ge = penalties.astuple()
+    B, m = q.shape
+    n = t.shape[1]
+    bt = block_pairs or _block_pairs_default(m)
+    bt = min(bt, max(128, B))
+    # interpreter mode has no tile-alignment constraints; a small chunk
+    # keeps the traced program (chunk x unrolled column bodies) tractable
+    chunk = 8 if interpret else T_CHUNK
+
+    # static-shape padding, all with sentinels (provably score-neutral):
+    #   pairs  -> whole number of lane blocks
+    #   query  -> multiple of 8 sublanes (int32 state tile height)
+    #   target -> multiple of `chunk` rows (aligned chunked loads)
+    Bp = -(-B // bt) * bt
+    mp = -(-m // 8) * 8
+    np_ = -(-n // chunk) * chunk
+    if Bp != B or mp != m:
+        q = jnp.pad(q, ((0, Bp - B), (0, mp - m)), constant_values=Q_PAD)
+    if Bp != B or np_ != n:
+        t = jnp.pad(t, ((0, Bp - B), (0, np_ - n)), constant_values=T_PAD)
+    m, n = mp, np_
+    nb = Bp // bt
+
+    qT = q.astype(jnp.int8).T  # [m, Bp]
+    tT = t.astype(jnp.int8).T  # [n, Bp]
+
+    kernel = functools.partial(
+        _sw_kernel, ma=ma, mi=mi, go=go, ge=ge, unroll=unroll, chunk=chunk
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((m, bt), lambda b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, bt), lambda b: (0, b), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bt), lambda b: (0, b), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * m * n * Bp, bytes_accessed=(m + n) * Bp + 4 * Bp, transcendentals=0
+        ),
+        interpret=interpret,
+    )(qT, tT)
+    return out[0, :B]

@@ -10,12 +10,18 @@ the suite on real devices instead.
 import os
 
 if not os.environ.get("SWTPU_TEST_TPU"):
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # jax may already be (pre-)imported by the environment, so env vars are
+    # too late for platform selection — use config.update, which takes
+    # effect any time before backend initialization.
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platform_name", "cpu")
 
 import sys
 from pathlib import Path

@@ -1,0 +1,79 @@
+"""ScoreBank pipeline: bucketing, packing, ID pairing, end-to-end parity."""
+
+import numpy as np
+import pytest
+
+from swtpu.bank import ScoreBank, pack_many_vs_one, plan_buckets
+from swtpu.config import SWConfig
+from swtpu.io import encode_seq, read_fasta, read_query_and_db
+from swtpu.oracle import score_many_vs_one
+from swtpu.testing import (
+    REFERENCE_DATA_DIR,
+    parse_rtl_out_file,
+    reference_data_available,
+)
+
+
+def test_bucket_plan_smallest_fit():
+    plan = plan_buckets([10, 32, 33, 128, 500], (32, 128, 512))
+    np.testing.assert_array_equal(plan.assignments, [0, 0, 1, 1, 2])
+    assert 0 < plan.fill[0] <= 1.0
+
+
+def test_bucket_overflow_raises():
+    with pytest.raises(ValueError):
+        plan_buckets([600], (32, 128, 512))
+
+
+def test_pack_ids_roundtrip():
+    rng = np.random.default_rng(0)
+    targets = [rng.integers(0, 4, size=L).astype(np.int8) for L in [10, 40, 100, 12, 80]]
+    query = rng.integers(0, 4, size=16).astype(np.int8)
+    batches = pack_many_vs_one(query, targets, bucket_lens=(32, 128), batch_align=4)
+    seen = set()
+    for b in batches:
+        for k, rid in enumerate(b.ids):
+            if rid < 0:
+                assert b.t_lens[k] == 0
+                continue
+            seen.add(int(rid))
+            # packed row must reproduce the original read
+            np.testing.assert_array_equal(b.t[k, : b.t_lens[k]], targets[rid])
+    assert seen == set(range(len(targets)))
+
+
+def test_scorebank_random_ragged():
+    rng = np.random.default_rng(1)
+    targets = [
+        rng.integers(0, 4, size=rng.integers(5, 200)).astype(np.int8)
+        for _ in range(37)
+    ]
+    query = rng.integers(0, 4, size=31).astype(np.int8)
+    want = score_many_vs_one(query, targets)
+    bank = ScoreBank(SWConfig(target_buckets=(32, 128, 256)), backend="scan")
+    res = bank.score_database(query, targets)
+    np.testing.assert_array_equal(res.scores, want)
+    assert res.cells == sum(31 * len(t) for t in targets)
+    assert res.padded_cells >= res.cells
+
+
+@pytest.mark.skipif(not reference_data_available(), reason="no reference data")
+def test_scorebank_golden_end_to_end():
+    """Full pipeline (FASTA -> encode -> bucket -> pack -> kernel -> IDs)
+    against the RTL golden for data1/query1 — the reference's minimum
+    end-to-end slice (SURVEY.md §7)."""
+    qrec = read_fasta(REFERENCE_DATA_DIR / "query1.fa")[0]
+    _, db = read_query_and_db(REFERENCE_DATA_DIR / "data1.fa")
+    query = encode_seq(qrec.seq)
+    targets = [encode_seq(r.seq) for r in db]
+    bank = ScoreBank(backend="scan")
+    res = bank.score_database(query, targets)
+    golden = parse_rtl_out_file(REFERENCE_DATA_DIR / "data1.fa_query1.fa_out.txt")
+    for k, r in enumerate(db):
+        if r.name in golden:
+            assert int(res.scores[k]) == golden[r.name], r.name
+    # the known first scores from the golden file (BASELINE.md)
+    assert list(res.scores[:3]) == [133, 106, 135]
+    # top-K reporting (the reference's unfinished max/vld_max intent)
+    top = res.top_k(3)
+    assert top[0][0] == max(golden.values())

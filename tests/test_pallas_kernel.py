@@ -1,0 +1,71 @@
+"""Pallas kernel == oracle (interpreter mode on CPU; real TPU in bench)."""
+
+import jax
+import numpy as np
+import pytest
+
+from swtpu.config import Penalties
+from swtpu.ops import sentinel_pad_batch
+from swtpu.ops.pallas_kernel import sw_scores_pallas
+from swtpu.oracle import sw_score_batch
+
+INTERPRET = jax.default_backend() != "tpu"
+
+
+def _random_ragged(rng, B, m_max, n_max):
+    q_lens = rng.integers(1, m_max + 1, size=B)
+    t_lens = rng.integers(1, n_max + 1, size=B)
+    q = rng.integers(0, 4, size=(B, m_max)).astype(np.int8)
+    t = rng.integers(0, 4, size=(B, n_max)).astype(np.int8)
+    return q, q_lens, t, t_lens
+
+
+# Interpret-mode runs are slow, so CPU tests stay small; the same kernel is
+# exercised at full size on real hardware by test_pallas_on_tpu (and bench.py).
+@pytest.mark.parametrize(
+    "B,m,n,seed",
+    [(8, 8, 8, 0), (16, 32, 32, 1), (4, 16, 64, 3)],
+)
+def test_pallas_matches_oracle(B, m, n, seed):
+    rng = np.random.default_rng(seed)
+    q, q_lens, t, t_lens = _random_ragged(rng, B, m, n)
+    want = sw_score_batch(q, t, q_lens, t_lens)
+    qp, tp = sentinel_pad_batch(q, q_lens, t, t_lens)
+    got = np.asarray(
+        sw_scores_pallas(qp, tp, block_pairs=128, interpret=INTERPRET, unroll=1)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_custom_penalties():
+    rng = np.random.default_rng(7)
+    q, q_lens, t, t_lens = _random_ragged(rng, 8, 24, 24)
+    pen = Penalties(match=2, mismatch=-3, gap_open=-4, gap_extend=-1)
+    want = sw_score_batch(q, t, q_lens, t_lens, pen)
+    qp, tp = sentinel_pad_batch(q, q_lens, t, t_lens)
+    got = np.asarray(
+        sw_scores_pallas(qp, tp, pen, block_pairs=128, interpret=INTERPRET, unroll=1)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_block_padding():
+    # B not a multiple of block_pairs: padded pairs must not leak
+    rng = np.random.default_rng(11)
+    q, q_lens, t, t_lens = _random_ragged(rng, 5, 16, 16)
+    want = sw_score_batch(q, t, q_lens, t_lens)
+    qp, tp = sentinel_pad_batch(q, q_lens, t, t_lens)
+    got = np.asarray(
+        sw_scores_pallas(qp, tp, block_pairs=128, interpret=INTERPRET, unroll=1)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.skipif(INTERPRET, reason="needs real TPU (set SWTPU_TEST_TPU=1)")
+def test_pallas_on_tpu_full_size():
+    rng = np.random.default_rng(42)
+    q, q_lens, t, t_lens = _random_ragged(rng, 64, 128, 128)
+    want = sw_score_batch(q, t, q_lens, t_lens)
+    qp, tp = sentinel_pad_batch(q, q_lens, t, t_lens)
+    got = np.asarray(sw_scores_pallas(qp, tp, block_pairs=1024))
+    np.testing.assert_array_equal(got, want)
