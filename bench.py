@@ -1,0 +1,70 @@
+"""swtpu headline benchmark: GCUPS/chip for the inner SW scoring kernel.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline = 256 GCUPS, the reference's whole 8-module FPGA ScoreBank
+(BASELINE.md: 8 modules x 128 PEs x 250 MHz, derived).
+
+Timing methodology: the TPU here sits behind a network tunnel where
+dispatch+D2H costs tens of ms and `block_until_ready` can return
+optimistically, so per-call wall times lie in both directions.  We time
+fully-synchronized (device->host materialized) runs over increasing batch
+sizes and fit a line: the slope is cells/second with fixed overheads
+removed.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_GCUPS = 256.0
+
+
+def measure_gcups(m=128, n=128, block_pairs=1024, sizes=(16384, 65536, 262144, 524288), reps=4):
+    import jax
+
+    from swtpu.ops.pallas_kernel import sw_scores_pallas
+    from swtpu.ops.scan import sw_scores_scan
+
+    on_tpu = jax.default_backend() == "tpu"
+    rng = np.random.default_rng(0)
+    pts = []
+    for B in sizes:
+        q = jax.device_put(rng.integers(0, 4, size=(B, m)).astype(np.int8))
+        t = jax.device_put(rng.integers(0, 4, size=(B, n)).astype(np.int8))
+        if on_tpu:
+            run = lambda: np.asarray(sw_scores_pallas(q, t, block_pairs=block_pairs, unroll=1))
+        else:
+            run = lambda: np.asarray(sw_scores_scan(q, t))
+        run()  # compile + warm
+        best = min(
+            (lambda: (lambda t0: (run(), time.time() - t0)[1])(time.time()))()
+            for _ in range(reps)
+        )
+        pts.append((float(B) * m * n, best))
+        print(f"# B={B}: {best*1e3:.1f} ms", file=sys.stderr)
+    cells = np.array([p[0] for p in pts])
+    ts = np.array([p[1] for p in pts])
+    slope, intercept = np.polyfit(cells, ts, 1)
+    gcups = 1.0 / slope / 1e9
+    print(f"# fixed overhead {intercept*1e3:.1f} ms", file=sys.stderr)
+    return gcups
+
+
+def main():
+    gcups = measure_gcups()
+    print(
+        json.dumps(
+            {
+                "metric": "GCUPS/chip (SW affine-gap scoring, 128x128)",
+                "value": round(gcups, 1),
+                "unit": "GCUPS",
+                "vs_baseline": round(gcups / BASELINE_GCUPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,165 @@
+"""swtpu command-line host runtime.
+
+The TPU-native replacement of the reference's C host program
+(capi_sample_aligner/software-C,C++/src/main_test.c:33-42:
+``./main_test -q query_file -l library_file -t timeout``), generalized to
+whole databases (the ScoreBank workload) instead of one pair:
+
+    swtpu score  -q query.fa -l library.fa [-o out.txt] [--topk K]
+    swtpu oracle -q query.fa -l library.fa          # numpy oracle (no JAX)
+    swtpu generate -n 100 -L 128 -o data.fa         # random FASTA (data/generate.py)
+    swtpu bench  [--sizes ...]
+
+Output format matches the RTL testbench's golden lines
+(``@<time>ns: >dbK score: S``, ScoreBank/ScoreBank_v1_tb.sv:280-282) so
+outputs diff directly against the reference's `data/*_out.txt`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from typing import List, Optional
+
+
+def _load(query_path: str, library_path: str):
+    from swtpu.io import encode_seq, read_fasta, read_query_and_db
+
+    qrecs = read_fasta(query_path)
+    queries = [r for r in qrecs if r.name.startswith("query")] or qrecs
+    query = encode_seq(queries[0].seq)
+    _, db = read_query_and_db(library_path)
+    if not db:
+        # library without >dbK naming: treat every record as a read
+        db = read_fasta(library_path)
+    names = [r.name for r in db]
+    targets = [encode_seq(r.seq) for r in db]
+    return query, names, targets
+
+
+def _emit(out, names, scores, t_start):
+    for name, s in zip(names, scores):
+        ns = int((time.perf_counter() - t_start) * 1e9)
+        out.write(f"@{ns:>9}ns: \t{'>' + name:>10} score: \t{int(s):>10}\n")
+
+
+def cmd_score(args) -> int:
+    from swtpu.bank import ScoreBank
+    from swtpu.config import Penalties, SWConfig
+
+    pen = Penalties(args.match, args.mismatch, args.gap_open, args.gap_extend)
+    query, names, targets = _load(args.query, args.library)
+    max_len = max((len(t) for t in targets), default=0)
+    buckets = tuple(b for b in (32, 128, 512, 2048, 8192) if b >= 32)
+    if max_len > buckets[-1]:
+        raise SystemExit(f"read length {max_len} exceeds capacity {buckets[-1]}")
+    cfg = SWConfig(penalties=pen, target_buckets=buckets)
+    bank = ScoreBank(cfg, backend=args.backend)
+    t0 = time.perf_counter()
+    res = bank.score_database(query, targets)
+    out = open(args.output, "w") if args.output else sys.stdout
+    try:
+        _emit(out, names, res.scores, t0)
+    finally:
+        if args.output:
+            out.close()
+    print(
+        f"# {len(targets)} reads, {res.cells} cells in {res.elapsed_s*1e3:.1f} ms "
+        f"-> {res.gcups:.2f} GCUPS (pad efficiency "
+        f"{res.cells/max(res.padded_cells,1):.1%})",
+        file=sys.stderr,
+    )
+    if args.topk:
+        for s, i in res.top_k(args.topk):
+            print(f"# top: >{names[i]} score: {s}", file=sys.stderr)
+    return 0
+
+
+def cmd_oracle(args) -> int:
+    from swtpu.config import Penalties
+    from swtpu.oracle import score_many_vs_one
+
+    pen = Penalties(args.match, args.mismatch, args.gap_open, args.gap_extend)
+    query, names, targets = _load(args.query, args.library)
+    t0 = time.perf_counter()
+    scores = score_many_vs_one(query, targets, pen)
+    out = open(args.output, "w") if args.output else sys.stdout
+    try:
+        _emit(out, names, scores, t0)
+    finally:
+        if args.output:
+            out.close()
+    return 0
+
+
+def cmd_generate(args) -> int:
+    """Random FASTA generator (the analog of data/generate.py: first record
+    `>query`, rest `>dbK`)."""
+    import numpy as np
+
+    from swtpu.io import FastaRecord, write_fasta
+    from swtpu.io.encode import CODE_BASES
+
+    rng = np.random.default_rng(args.seed)
+    records: List[FastaRecord] = []
+    for j in range(args.number):
+        codes = rng.integers(0, 4, size=args.length)
+        seq = "".join(CODE_BASES[int(c)] for c in codes)
+        records.append(FastaRecord("query" if j == 0 else f"db{j}", seq))
+    write_fasta(args.output, records)
+    print(f"# wrote {args.number} reads x {args.length} nt to {args.output}", file=sys.stderr)
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench
+
+    bench.main()
+    return 0
+
+
+def _add_pen_args(p):
+    p.add_argument("--match", type=int, default=5)
+    p.add_argument("--mismatch", type=int, default=-4)
+    p.add_argument("--gap-open", dest="gap_open", type=int, default=-12)
+    p.add_argument("--gap-extend", dest="gap_extend", type=int, default=-4)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    ap = argparse.ArgumentParser(prog="swtpu", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    ps = sub.add_parser("score", help="score a library against a query on TPU")
+    ps.add_argument("-q", "--query", required=True)
+    ps.add_argument("-l", "--library", required=True)
+    ps.add_argument("-o", "--output")
+    ps.add_argument("-t", "--timeout", type=int, default=0, help="accepted for main_test.c parity; unused")
+    ps.add_argument("--topk", type=int, default=0)
+    ps.add_argument("--backend", default="auto", choices=["auto", "scan", "pallas"])
+    _add_pen_args(ps)
+    ps.set_defaults(fn=cmd_score)
+
+    po = sub.add_parser("oracle", help="score with the numpy oracle (no JAX)")
+    po.add_argument("-q", "--query", required=True)
+    po.add_argument("-l", "--library", required=True)
+    po.add_argument("-o", "--output")
+    _add_pen_args(po)
+    po.set_defaults(fn=cmd_oracle)
+
+    pg = sub.add_parser("generate", help="generate a random FASTA")
+    pg.add_argument("-n", "--number", type=int, default=100)
+    pg.add_argument("-L", "--length", type=int, default=128)
+    pg.add_argument("-o", "--output", required=True)
+    pg.add_argument("--seed", type=int, default=0)
+    pg.set_defaults(fn=cmd_generate)
+
+    pb = sub.add_parser("bench", help="run the headline GCUPS benchmark")
+    pb.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,99 @@
+"""Data-parallel scoring and collective top-K merge over a device mesh.
+
+TPU-native equivalent of scaling the reference beyond one ScoreBank: the
+database batch is sharded across the mesh's `data` axis (each device = one
+"scoring module" bank, ScoreBank/ScoreBank_v2.v:77-139), the query is
+replicated (the bank broadcasts `ld_q` to every module,
+ScoreBank_v2.v:99-102), and per-shard results are merged with XLA
+collectives — implementing, at pod scale, the best-hit/top-K capability the
+reference declared but never drove (the dangling `max`/`vld_max` ports,
+ScoreBank_v2.v:42-43, and the ResBuffer stub, CAPI_template/ResBuffer.v).
+
+Collectives ride ICI within a slice / DCN across hosts; the same code runs
+multi-process under `jax.distributed.initialize` (swtpu.testing provides the
+hardware-free localhost harness, the PSLSE analog).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from swtpu.config import DEFAULT_PENALTIES, Penalties
+
+
+def _kernel_fn(backend: str, penalties: Penalties, interpret: bool) -> Callable:
+    if backend == "pallas":
+        from swtpu.ops.pallas_kernel import sw_scores_pallas
+
+        return lambda q, t: sw_scores_pallas(q, t, penalties, interpret=interpret)
+    from swtpu.ops.scan import sw_scores_scan
+
+    return lambda q, t: sw_scores_scan(q, t, penalties)
+
+
+def make_sharded_scorer(
+    mesh: Mesh,
+    axis: str = "data",
+    backend: str = "scan",
+    penalties: Penalties = DEFAULT_PENALTIES,
+    interpret: bool = False,
+) -> Callable:
+    """Returns jitted scores = f(q [B,m], t [B,n]) with B sharded over
+    `axis`.  B must divide by the axis size (the packer's batch_align)."""
+    kernel = _kernel_fn(backend, penalties, interpret)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    def score(q, t):
+        return kernel(q, t)
+
+    return jax.jit(score)
+
+
+def make_sharded_topk(
+    mesh: Mesh,
+    k: int,
+    axis: str = "data",
+    backend: str = "scan",
+    penalties: Penalties = DEFAULT_PENALTIES,
+    interpret: bool = False,
+) -> Callable:
+    """Returns jitted (top_scores [k], top_ids [k], scores [B]) =
+    f(q [B,m], t [B,n], ids [B]).
+
+    Per-shard `lax.top_k` first, then an all-gather of the K·n_shards
+    candidates and a final top-K — the stable merge of (score, db-index)
+    pairs across shards (SURVEY.md §7 'hard parts').  Sentinel rows carry
+    id -1 and score 0; callers filter them if k exceeds live rows.
+    """
+    kernel = _kernel_fn(backend, penalties, interpret)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(axis)),
+        out_specs=(P(), P(), P(axis)),
+        check_vma=False,
+    )
+    def score_topk(q, t, ids):
+        s = kernel(q, t)
+        kk = min(k, s.shape[0])
+        loc_s, loc_i = jax.lax.top_k(s, kk)
+        loc_ids = ids[loc_i]
+        all_s = jax.lax.all_gather(loc_s, axis, tiled=True)
+        all_ids = jax.lax.all_gather(loc_ids, axis, tiled=True)
+        fin_s, fin_i = jax.lax.top_k(all_s, k)
+        return fin_s, all_ids[fin_i], s
+
+    return jax.jit(score_topk)

@@ -1,0 +1,62 @@
+"""Multi-chip sharding on the 8-device virtual CPU mesh (PSLSE-style
+hardware-free harness): sharded scores == oracle, collective top-K merge."""
+
+import jax
+import numpy as np
+import pytest
+
+from swtpu.ops import sentinel_pad_batch
+from swtpu.oracle import sw_score_batch
+from swtpu.parallel import make_mesh, make_sharded_scorer, make_sharded_topk
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices (CPU virtual mesh)")
+    return make_mesh(8)
+
+
+def _batch(rng, B, m, n):
+    q = rng.integers(0, 4, size=(B, m)).astype(np.int8)
+    t = rng.integers(0, 4, size=(B, n)).astype(np.int8)
+    ql = rng.integers(1, m + 1, size=B)
+    tl = rng.integers(1, n + 1, size=B)
+    return q, ql, t, tl
+
+
+def test_sharded_scores_match_oracle(mesh):
+    rng = np.random.default_rng(0)
+    q, ql, t, tl = _batch(rng, 64, 32, 48)
+    want = sw_score_batch(q, t, ql, tl)
+    qp, tp = sentinel_pad_batch(q, ql, t, tl)
+    scorer = make_sharded_scorer(mesh)
+    got = np.asarray(scorer(qp, tp))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_topk_merge(mesh):
+    rng = np.random.default_rng(1)
+    q, ql, t, tl = _batch(rng, 64, 32, 48)
+    want = sw_score_batch(q, t, ql, tl)
+    qp, tp = sentinel_pad_batch(q, ql, t, tl)
+    ids = np.arange(64, dtype=np.int32)
+    topk = make_sharded_topk(mesh, k=5)
+    top_s, top_ids, scores = (np.asarray(x) for x in topk(qp, tp, ids))
+    np.testing.assert_array_equal(scores, want)
+    order = np.argsort(-want, kind="stable")
+    np.testing.assert_array_equal(np.sort(top_s)[::-1], np.sort(want[order[:5]])[::-1])
+    # every reported (score, id) pair must be genuine
+    for s, i in zip(top_s, top_ids):
+        assert want[i] == s
+
+
+def test_sharded_pallas_interpret(mesh):
+    # the pallas kernel also runs under shard_map (interpret on CPU)
+    rng = np.random.default_rng(2)
+    q, ql, t, tl = _batch(rng, 16, 8, 8)
+    want = sw_score_batch(q, t, ql, tl)
+    qp, tp = sentinel_pad_batch(q, ql, t, tl)
+    scorer = make_sharded_scorer(mesh, backend="pallas", interpret=True)
+    got = np.asarray(scorer(qp, tp))
+    np.testing.assert_array_equal(got, want)
