@@ -1,0 +1,113 @@
+"""Multi-process regression driver — the regress.py of swtpu.
+
+Launches N scoring workers as OS processes on localhost (the PSLSE-style
+fake cluster, SURVEY.md §4), optionally injects process-level faults
+(killing a worker mid-run, like PSLSE's randomized PAGED/disconnect tests),
+detects the failure, and re-runs — demonstrating failure detection +
+rerun-the-shard recovery (SURVEY.md §5 'failure detection').
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import signal
+import socket
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@dataclasses.dataclass
+class MultihostResult:
+    scores: np.ndarray
+    top_s: np.ndarray
+    top_ids: np.ndarray
+    attempts: int
+    killed_pids: List[int]
+
+
+def run_multihost(
+    q: np.ndarray,
+    t: np.ndarray,
+    ids: np.ndarray,
+    nprocs: int = 2,
+    topk: int = 4,
+    kill_worker: Optional[int] = None,
+    kill_after_s: float = 1.0,
+    max_attempts: int = 3,
+    timeout_s: float = 300.0,
+) -> MultihostResult:
+    """Score (q, t) across `nprocs` localhost processes; returns merged,
+    cross-checked results.  If kill_worker is set, that worker is SIGKILLed
+    on the first attempt and the whole job re-runs (shard-rerun recovery)."""
+    B = q.shape[0]
+    assert B % nprocs == 0
+    killed: List[int] = []
+    for attempt in range(1, max_attempts + 1):
+        with tempfile.TemporaryDirectory(prefix="swtpu_mh_") as td:
+            tdp = Path(td)
+            inp = tdp / "input.npz"
+            np.savez(inp, q=q, t=t, ids=ids)
+            port = _free_port()
+            procs = []
+            env = dict(os.environ)
+            env["JAX_PLATFORMS"] = "cpu"
+            env["JAX_PLATFORM_NAME"] = "cpu"
+            env.pop("XLA_FLAGS", None)
+            for pid in range(nprocs):
+                out = tdp / f"out_{pid}.npz"
+                cmd = [
+                    sys.executable, "-m", "swtpu.testing.worker",
+                    "--coordinator", f"127.0.0.1:{port}",
+                    "--nprocs", str(nprocs), "--pid", str(pid),
+                    "--input", str(inp), "--output", str(out),
+                    "--topk", str(topk),
+                ]
+                procs.append(subprocess.Popen(cmd, env=env, cwd=str(Path(__file__).parents[2])))
+            do_kill = kill_worker is not None and attempt == 1
+            if do_kill:
+                time.sleep(kill_after_s)
+                procs[kill_worker].send_signal(signal.SIGKILL)
+                killed.append(kill_worker)
+            deadline = time.time() + timeout_s
+            rcs = [None] * nprocs
+            while time.time() < deadline and any(r is None for r in rcs):
+                for i, p in enumerate(procs):
+                    rcs[i] = p.poll()
+                time.sleep(0.2)
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+            if any(rc != 0 for rc in rcs):
+                continue  # failure detected -> rerun
+            # merge + cross-check
+            scores = np.zeros((B,), np.int32)
+            top_s = top_ids = None
+            ok = True
+            for pid in range(nprocs):
+                f = tdp / f"out_{pid}.npz"
+                if not f.exists():
+                    ok = False
+                    break
+                d = np.load(f)
+                scores[d["local_rows"]] = d["local_scores"]
+                if top_s is None:
+                    top_s, top_ids = d["top_s"], d["top_ids"]
+                else:
+                    if not (np.array_equal(top_s, d["top_s"]) and np.array_equal(top_ids, d["top_ids"])):
+                        raise AssertionError("workers disagree on merged top-K")
+            if ok:
+                return MultihostResult(scores, top_s, top_ids, attempt, killed)
+    raise RuntimeError(f"multihost job failed after {max_attempts} attempts")

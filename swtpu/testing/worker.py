@@ -1,0 +1,87 @@
+"""Multi-process scoring worker — one simulated host.
+
+The hardware-free multi-host harness runs N of these as OS processes on
+localhost under `jax.distributed` (CPU backend), the swtpu analog of the
+reference's PSLSE strategy: "multi-node without a cluster = multiple OS
+processes + sockets + a fake device" (SURVEY.md §4, pslse-master/test/
+regress/regress.py:128-185).  Each worker owns a database shard, scores it,
+and participates in the collective top-K merge; the driver
+(swtpu.testing.regress) checks that every worker reports the identical
+merged result.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--coordinator", required=True)
+    ap.add_argument("--nprocs", type=int, required=True)
+    ap.add_argument("--pid", type=int, required=True)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--topk", type=int, default=4)
+    ap.add_argument("--delay-ms", type=int, default=0, help="injected startup delay")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platform_name", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=args.coordinator,
+        num_processes=args.nprocs,
+        process_id=args.pid,
+    )
+
+    import time
+
+    if args.delay_ms:
+        time.sleep(args.delay_ms / 1e3)
+
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from swtpu.parallel import make_mesh, make_sharded_topk
+
+    data = np.load(args.input)
+    q, t, ids = data["q"], data["t"], data["ids"]
+    B = q.shape[0]
+    n_dev = len(jax.devices())
+    assert B % n_dev == 0, (B, n_dev)
+    shard_rows = B // args.nprocs
+
+    mesh = make_mesh()
+    sharding = NamedSharding(mesh, P("data", None))
+    lo, hi = args.pid * shard_rows, (args.pid + 1) * shard_rows
+    qg = jax.make_array_from_process_local_data(sharding, q[lo:hi])
+    tg = jax.make_array_from_process_local_data(sharding, t[lo:hi])
+    idsg = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("data")), ids[lo:hi]
+    )
+
+    topk = make_sharded_topk(mesh, k=args.topk)
+    top_s, top_ids, scores = topk(qg, tg, idsg)
+    # each process materializes the replicated top-K and its local score rows
+    local_scores = np.concatenate(
+        [np.asarray(s.data) for s in scores.addressable_shards]
+    )
+    local_rows = np.concatenate(
+        [np.arange(s.index[0].start, s.index[0].stop) for s in scores.addressable_shards]
+    )
+    np.savez(
+        args.output,
+        top_s=np.asarray(top_s),
+        top_ids=np.asarray(top_ids),
+        local_scores=local_scores,
+        local_rows=local_rows,
+        pid=args.pid,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,57 @@
+"""Fault injection + multi-process (fake multi-host) regression tests."""
+
+import numpy as np
+import pytest
+
+from swtpu.bank import ScoreBank
+from swtpu.config import SWConfig
+from swtpu.oracle import score_many_vs_one, sw_score_batch
+from swtpu.testing.faults import FaultConfig, score_database_with_faults
+
+
+def test_faulted_scheduling_preserves_read_order():
+    rng = np.random.default_rng(0)
+    targets = [
+        rng.integers(0, 4, size=rng.integers(5, 250)).astype(np.int8)
+        for _ in range(41)
+    ]
+    query = rng.integers(0, 4, size=24).astype(np.int8)
+    want = score_many_vs_one(query, targets)
+    bank = ScoreBank(SWConfig(target_buckets=(32, 128, 256)), backend="scan")
+    faults = FaultConfig(seed=7, reorder_percent=100, drop_percent=40, delay_ms_max=1)
+    scores, inj = score_database_with_faults(bank, query, targets, faults)
+    np.testing.assert_array_equal(scores, want)
+    assert inj.injected_drops > 0  # adversity actually happened
+
+
+@pytest.mark.multihost
+def test_two_process_localhost_scoring():
+    from swtpu.testing.regress import run_multihost
+
+    rng = np.random.default_rng(1)
+    B, m, n = 16, 16, 24
+    q = rng.integers(0, 4, size=(B, m)).astype(np.int8)
+    t = rng.integers(0, 4, size=(B, n)).astype(np.int8)
+    ids = np.arange(B, dtype=np.int32)
+    want = sw_score_batch(q, t)
+    res = run_multihost(q, t, ids, nprocs=2, topk=4)
+    np.testing.assert_array_equal(res.scores, want)
+    for s, i in zip(res.top_s, res.top_ids):
+        assert want[i] == s
+    assert res.attempts == 1
+
+
+@pytest.mark.multihost
+def test_worker_kill_detection_and_rerun():
+    from swtpu.testing.regress import run_multihost
+
+    rng = np.random.default_rng(2)
+    B, m, n = 8, 8, 8
+    q = rng.integers(0, 4, size=(B, m)).astype(np.int8)
+    t = rng.integers(0, 4, size=(B, n)).astype(np.int8)
+    ids = np.arange(B, dtype=np.int32)
+    want = sw_score_batch(q, t)
+    res = run_multihost(q, t, ids, nprocs=2, kill_worker=1, kill_after_s=0.5)
+    np.testing.assert_array_equal(res.scores, want)
+    assert res.attempts >= 2  # first attempt died, job recovered
+    assert res.killed_pids == [1]

@@ -1,0 +1,93 @@
+"""Checkpoint/resume job state + observability utilities."""
+
+import numpy as np
+
+from swtpu.bank import ScoreBank
+from swtpu.bank.resume import score_database_resumable
+from swtpu.config import SWConfig
+from swtpu.oracle import score_many_vs_one
+from swtpu.utils import BatchEvent, EventLog, GcupsMeter
+
+
+def _workload(rng, n=25):
+    targets = [
+        rng.integers(0, 4, size=rng.integers(5, 250)).astype(np.int8)
+        for _ in range(n)
+    ]
+    query = rng.integers(0, 4, size=20).astype(np.int8)
+    return query, targets
+
+
+def test_resumable_scoring_completes_and_resumes(tmp_path):
+    rng = np.random.default_rng(0)
+    query, targets = _workload(rng)
+    want = score_many_vs_one(query, targets)
+    bank = ScoreBank(SWConfig(target_buckets=(32, 128, 256)), backend="scan")
+    state = tmp_path / "job.npz"
+
+    res = score_database_resumable(bank, query, targets, state)
+    np.testing.assert_array_equal(res.scores, want)
+    assert state.exists()
+
+    # resume with a poisoned backend: no batch may re-execute
+    calls = {"n": 0}
+
+    def poisoned(q, t, pen):
+        calls["n"] += 1
+        raise AssertionError("batch re-executed after completion")
+
+    bank2 = ScoreBank(SWConfig(target_buckets=(32, 128, 256)), backend=poisoned)
+    res2 = score_database_resumable(bank2, query, targets, state)
+    np.testing.assert_array_equal(res2.scores, want)
+    assert calls["n"] == 0
+
+
+def test_resume_partial(tmp_path):
+    rng = np.random.default_rng(1)
+    query, targets = _workload(rng)
+    want = score_many_vs_one(query, targets)
+    state = tmp_path / "job.npz"
+
+    # backend that dies after the first batch
+    from swtpu.ops.scan import sw_scores_scan
+
+    calls = {"n": 0}
+
+    def flaky(q, t, pen):
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise RuntimeError("simulated crash")
+        return np.asarray(sw_scores_scan(q, t, pen))
+
+    bank = ScoreBank(SWConfig(target_buckets=(32, 128, 256)), backend=flaky)
+    try:
+        score_database_resumable(bank, query, targets, state)
+    except RuntimeError:
+        pass
+    assert state.exists()
+
+    bank2 = ScoreBank(SWConfig(target_buckets=(32, 128, 256)), backend="scan")
+    res = score_database_resumable(bank2, query, targets, state)
+    np.testing.assert_array_equal(res.scores, want)
+
+
+def test_event_log_roundtrip(tmp_path):
+    path = tmp_path / "events.jsonl"
+    log = EventLog(path)
+    log.emit(BatchEvent("batch", 0.0, 0.5, reads=10, cells=1000, padded_cells=2000))
+    log.emit(BatchEvent("job", 1.0, 2.0, reads=100, cells=99999, padded_cells=120000, note="done"))
+    log.close()
+    back = EventLog.parse(path)
+    assert len(back) == 2
+    assert back[0].cells == 1000
+    assert abs(back[0].gcups - 1000 / 0.5 / 1e9) < 1e-12
+    assert back[1].note == "done"
+
+
+def test_gcups_meter_counts_real_cells():
+    m = GcupsMeter()
+    with m.batch(cells=1000, padded_cells=4000, reads=10):
+        pass
+    assert m.cells == 1000
+    assert m.pad_efficiency == 0.25
+    assert m.reads == 10
