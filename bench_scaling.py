@@ -1,0 +1,86 @@
+"""reads/s scaling benchmark across mesh sizes.
+
+The reference's scaling axis is MODULES (1 -> 8 scoring arrays,
+ScoreBank/ScoreBank_v2.v:17); swtpu's is devices in the mesh.  Real
+multi-chip hardware is not present in this environment, so by default this
+runs on the virtual 8-device CPU mesh (the PSLSE-style hardware-free
+harness) and reports scaling *efficiency*; on a real pod slice the same
+script measures actual multi-chip reads/s.
+
+Prints one JSON line per mesh size plus a summary efficiency line.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    if jax.default_backend() != "tpu" and len(jax.devices()) < 2:
+        # re-exec guard not needed; conftest-style virtual devices only help
+        # when set before backend init.  Run under:
+        #   XLA_FLAGS=--xla_force_host_platform_device_count=8
+        print("# warning: single device; scaling table will be trivial", file=sys.stderr)
+
+    from swtpu.ops.common import Q_PAD, T_PAD
+    from swtpu.parallel import make_mesh, make_sharded_scorer
+
+    rng = np.random.default_rng(0)
+    m = n = 128
+    per_dev = 2048 if jax.default_backend() == "tpu" else 256
+    devs = len(jax.devices())
+    sizes = [s for s in (1, 2, 4, 8, 16, 32) if s <= devs]
+    backend = "pallas" if jax.default_backend() == "tpu" else "scan"
+
+    results = {}
+    for nd in sizes:
+        mesh = make_mesh(nd)
+        scorer = make_sharded_scorer(mesh, backend=backend)
+        B = per_dev * nd
+        q = rng.integers(0, 4, size=(B, m)).astype(np.int8)
+        t = rng.integers(0, 4, size=(B, n)).astype(np.int8)
+        _ = np.asarray(scorer(q, t))  # compile + warm
+        best = 1e9
+        for _ in range(3):
+            t0 = time.time()
+            _ = np.asarray(scorer(q, t))
+            best = min(best, time.time() - t0)
+        rps = B / best
+        results[nd] = rps
+        print(
+            json.dumps(
+                {
+                    "metric": f"reads/s @ {nd} device(s)",
+                    "value": round(rps, 1),
+                    "unit": "reads/s",
+                    "vs_baseline": None,
+                }
+            )
+        )
+    if len(sizes) > 1:
+        if jax.default_backend() != "tpu":
+            print(
+                "# note: virtual CPU devices share physical cores; this "
+                "efficiency measures the harness, not ICI scaling",
+                file=sys.stderr,
+            )
+        base = results[sizes[0]] / sizes[0]
+        eff = results[sizes[-1]] / (sizes[-1] * base)
+        print(
+            json.dumps(
+                {
+                    "metric": f"scaling efficiency 1->{sizes[-1]} devices",
+                    "value": round(eff, 3),
+                    "unit": "ratio",
+                    "vs_baseline": round(eff / 0.8, 3),  # target: >=80% linear
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()

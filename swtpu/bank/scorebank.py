@@ -87,8 +87,12 @@ class ScoreBank:
         self,
         query: np.ndarray,
         targets: Sequence[np.ndarray],
+        event_log=None,
     ) -> ScoreResult:
-        """Score every target read against `query`; returns read-order scores."""
+        """Score every target read against `query`; returns read-order scores.
+
+        event_log: optional swtpu.utils.EventLog receiving one structured
+        record per dispatched batch (the trace-array/debug.log analog)."""
         cfg = self.config
         t0 = time.perf_counter()
         batches = pack_many_vs_one(
@@ -101,10 +105,25 @@ class ScoreBank:
         cells = 0
         padded = 0
         for batch in batches:
+            tb = time.perf_counter()
             s = self._score_batch(batch.q, batch.t)
             live = batch.ids >= 0
             scores[batch.ids[live]] = s[live]
             cells += batch.cells
             padded += batch.padded_cells
+            if event_log is not None:
+                from swtpu.utils import BatchEvent
+
+                event_log.emit(
+                    BatchEvent(
+                        "batch",
+                        t_wall=time.time(),
+                        elapsed_s=time.perf_counter() - tb,
+                        reads=int(live.sum()),
+                        cells=batch.cells,
+                        padded_cells=batch.padded_cells,
+                        note=f"bucket_len={batch.t.shape[1]}",
+                    )
+                )
         elapsed = time.perf_counter() - t0
         return ScoreResult(scores, cells, padded, elapsed)

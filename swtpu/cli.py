@@ -56,8 +56,23 @@ def cmd_score(args) -> int:
         raise SystemExit(f"read length {max_len} exceeds capacity {buckets[-1]}")
     cfg = SWConfig(penalties=pen, target_buckets=buckets)
     bank = ScoreBank(cfg, backend=args.backend)
+    event_log = None
+    if args.events:
+        from swtpu.utils import EventLog
+
+        event_log = EventLog(args.events)
     t0 = time.perf_counter()
-    res = bank.score_database(query, targets)
+    from swtpu.utils import profile_trace
+
+    with profile_trace(args.profile):
+        if args.resume:
+            from swtpu.bank.resume import score_database_resumable
+
+            res = score_database_resumable(bank, query, targets, args.resume)
+        else:
+            res = bank.score_database(query, targets, event_log=event_log)
+    if event_log is not None:
+        event_log.close()
     out = open(args.output, "w") if args.output else sys.stdout
     try:
         _emit(out, names, res.scores, t0)
@@ -137,6 +152,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     ps.add_argument("-t", "--timeout", type=int, default=0, help="accepted for main_test.c parity; unused")
     ps.add_argument("--topk", type=int, default=0)
     ps.add_argument("--backend", default="auto", choices=["auto", "scan", "pallas"])
+    ps.add_argument("--events", help="write per-batch JSONL event log here")
+    ps.add_argument("--profile", help="write a jax.profiler trace to this dir")
+    ps.add_argument("--resume", help="resumable job state file (WED analog)")
     _add_pen_args(ps)
     ps.set_defaults(fn=cmd_score)
 
