@@ -134,6 +134,28 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_diff(args) -> int:
+    """Diff two score files (either `@..ns: >dbK score: S` RTL format or
+    ssearch36 -R tables) — the reference's offline golden-diff methodology
+    (SURVEY.md §4: scores logged and diffed against oracles)."""
+    from swtpu.testing.goldens import parse_rtl_out_file, parse_ssearch_scores
+
+    def load(path):
+        got = parse_rtl_out_file(path)
+        return got if got else parse_ssearch_scores(path)
+
+    a, b = load(args.a), load(args.b)
+    common = sorted(set(a) & set(b))
+    mism = {k: (a[k], b[k]) for k in common if a[k] != b[k]}
+    only_a = sorted(set(a) - set(b))
+    only_b = sorted(set(b) - set(a))
+    print(f"# {len(common)} common IDs, {len(mism)} mismatches, "
+          f"{len(only_a)} only in A, {len(only_b)} only in B")
+    for k, (va, vb) in sorted(mism.items()):
+        print(f"MISMATCH {k}: {va} != {vb}")
+    return 1 if mism else 0
+
+
 def _add_pen_args(p):
     p.add_argument("--match", type=int, default=5)
     p.add_argument("--mismatch", type=int, default=-4)
@@ -174,6 +196,11 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     pb = sub.add_parser("bench", help="run the headline GCUPS benchmark")
     pb.set_defaults(fn=cmd_bench)
+
+    pd = sub.add_parser("diff", help="diff two score files by read ID")
+    pd.add_argument("a")
+    pd.add_argument("b")
+    pd.set_defaults(fn=cmd_diff)
 
     args = ap.parse_args(argv)
     return args.fn(args)

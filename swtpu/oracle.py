@@ -146,6 +146,19 @@ def sw_score_batch(
     return best.astype(np.int32)
 
 
+def biased_view(scores: np.ndarray, score_width: int = 12) -> np.ndarray:
+    """Render scores in the RTL's biased unsigned arithmetic: the hardware
+    carries score + ZERO where ZERO = 2**(score_width-1) and reports
+    `result - ZERO` (SW_ProcessingElement_v1.0.v:15-20,
+    ScoreBank/ScoreBank_v1_tb.sv:280-281).  Values are reduced modulo the
+    register width, reproducing the wrap a too-narrow SCORE_WIDTH would
+    exhibit; for in-range scores this is the identity, which is what makes
+    int32 kernels bit-compatible with the 12-bit hardware."""
+    zero = 1 << (score_width - 1)
+    mask = (1 << score_width) - 1
+    return ((np.asarray(scores, np.int64) + zero) & mask) - zero
+
+
 def score_many_vs_one(
     query: np.ndarray,
     targets: Sequence[np.ndarray],

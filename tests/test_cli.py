@@ -1,0 +1,58 @@
+"""CLI surface tests (oracle/score/generate/diff) + biased-arithmetic view."""
+
+import numpy as np
+import pytest
+
+from swtpu.cli import main
+from swtpu.oracle import biased_view
+from swtpu.testing import REFERENCE_DATA_DIR, reference_data_available
+
+
+def test_biased_view_identity_in_range():
+    s = np.array([0, 133, 640, -4, 2047], np.int32)
+    np.testing.assert_array_equal(biased_view(s, 12), s)
+
+
+def test_biased_view_wraps_out_of_range():
+    # a score of 2048 wraps to -2048 in 12-bit biased hardware
+    assert biased_view(np.array([2048]), 12)[0] == -2048
+
+
+def test_generate_and_oracle_roundtrip(tmp_path, capsys):
+    fa = tmp_path / "gen.fa"
+    assert main(["generate", "-n", "6", "-L", "40", "-o", str(fa), "--seed", "3"]) == 0
+    out = tmp_path / "scores.txt"
+    assert main(["oracle", "-q", str(fa), "-l", str(fa), "-o", str(out)]) == 0
+    text = out.read_text()
+    assert text.count("score:") == 5  # 5 db reads
+
+
+def test_score_backend_scan(tmp_path):
+    fa = tmp_path / "gen.fa"
+    main(["generate", "-n", "8", "-L", "64", "-o", str(fa), "--seed", "5"])
+    o1 = tmp_path / "scan.txt"
+    o2 = tmp_path / "oracle.txt"
+    assert main(["score", "-q", str(fa), "-l", str(fa), "-o", str(o1), "--backend", "scan"]) == 0
+    assert main(["oracle", "-q", str(fa), "-l", str(fa), "-o", str(o2)]) == 0
+    assert main(["diff", str(o1), str(o2)]) == 0
+
+
+@pytest.mark.skipif(not reference_data_available(), reason="no reference data")
+def test_score_matches_rtl_golden_via_diff(tmp_path):
+    out = tmp_path / "out.txt"
+    rc = main([
+        "score", "-q", str(REFERENCE_DATA_DIR / "query1.fa"),
+        "-l", str(REFERENCE_DATA_DIR / "data1.fa"),
+        "-o", str(out), "--backend", "scan",
+    ])
+    assert rc == 0
+    golden = str(REFERENCE_DATA_DIR / "data1.fa_query1.fa_out.txt")
+    assert main(["diff", str(out), golden]) == 0
+
+
+def test_diff_detects_mismatch(tmp_path):
+    a = tmp_path / "a.txt"
+    b = tmp_path / "b.txt"
+    a.write_text("@1ns: >db1 score: \t 10\n")
+    b.write_text("@1ns: >db1 score: \t 11\n")
+    assert main(["diff", str(a), str(b)]) == 1
