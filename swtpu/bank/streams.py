@@ -1,0 +1,117 @@
+"""Host-side packing for the streamed wavefront kernel.
+
+The reference's feeders stage targets and shift them into the PE array
+back-to-back, pairing completions with IDs via per-toggle FIFOs
+(ScoreBank/SM_Feeder2.v); the bank's priority encoder picks the first
+feeder with room (ScoreBank/PrioEncoder.v:16-22).  Here: each of S streams
+is one feeder lane; reads are assigned greedily to the currently-shortest
+stream (the load-balancing the priority encoder approximates), concatenated
+with a first-char flag, and every read's score-emission coordinate
+(stream, step) is computed up front — the ID-FIFO pairing made static.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from swtpu.ops.common import Q_PAD
+
+STREAM_PAD = 4  # drain/pad char (never matches; no flag)
+FLAG = 8
+LANES = 128
+DRAIN = LANES - 1
+
+
+@dataclasses.dataclass
+class StreamBatch:
+    """Packed streams + emission map.
+
+    q: [S, 128] int8 per-stream query (replicated, sentinel-padded).
+    stream: [S, T] int8 flagged char streams, T % 128 == 0.
+    emit_stream / emit_step: [n_reads] gather coordinates into the strip.
+    cells: real DP cells (query_len * sum target lens).
+    """
+
+    q: np.ndarray
+    stream: np.ndarray
+    emit_stream: np.ndarray
+    emit_step: np.ndarray
+    cells: int
+
+    @property
+    def total_steps(self) -> int:
+        return self.stream.shape[0] * self.stream.shape[1]
+
+
+def pack_streams(
+    query: np.ndarray,
+    targets: Sequence[np.ndarray],
+    n_streams: int = 256,
+) -> StreamBatch:
+    """Assign reads to streams (greedy shortest-stream), concatenate with
+    flags, compute emission coordinates."""
+    if len(query) > LANES:
+        raise ValueError(f"stream kernel query capacity is {LANES} bases")
+    n_reads = len(targets)
+    S = n_streams
+    chunks: List[List[np.ndarray]] = [[] for _ in range(S)]
+    fill = np.zeros(S, dtype=np.int64)
+    emit_stream = np.zeros(n_reads, dtype=np.int32)
+    emit_step = np.zeros(n_reads, dtype=np.int64)
+    cells = 0
+    for r, t in enumerate(targets):
+        t = np.asarray(t, dtype=np.int8)
+        if len(t) == 0:
+            emit_stream[r] = 0
+            emit_step[r] = -1  # zero-length read: score 0 by definition
+            continue
+        s = int(np.argmin(fill))
+        flagged = t.copy()
+        flagged[0] |= FLAG
+        chunks[s].append(flagged)
+        emit_stream[r] = s
+        emit_step[r] = fill[s] + len(t) - 1 + DRAIN
+        fill[s] += len(t)
+        cells += len(query) * len(t)
+
+    T = int(fill.max()) + DRAIN if n_reads else LANES
+    T = -(-T // LANES) * LANES
+    stream = np.full((S, T), STREAM_PAD, dtype=np.int8)
+    for s in range(S):
+        if chunks[s]:
+            cat = np.concatenate(chunks[s])
+            stream[s, : len(cat)] = cat
+
+    q = np.full((S, LANES), Q_PAD, dtype=np.int8)
+    q[:, : len(query)] = np.asarray(query, dtype=np.int8)[None, :]
+    return StreamBatch(q, stream, emit_stream, emit_step, cells)
+
+
+def gather_stream_scores(strip: np.ndarray, batch: StreamBatch) -> np.ndarray:
+    """strip [S, T] -> per-read scores in submission order."""
+    scores = np.zeros(len(batch.emit_step), dtype=np.int32)
+    live = batch.emit_step >= 0
+    scores[live] = strip[batch.emit_stream[live], batch.emit_step[live]]
+    return scores
+
+
+def score_streams(
+    query: np.ndarray,
+    targets: Sequence[np.ndarray],
+    n_streams: int = 256,
+    penalties=None,
+    interpret: bool = False,
+) -> np.ndarray:
+    """End-to-end streamed scoring: pack -> wavefront kernel -> gather."""
+    from swtpu.config import DEFAULT_PENALTIES
+    from swtpu.ops.pallas_stream import sw_scores_stream_strip
+
+    pen = penalties or DEFAULT_PENALTIES
+    batch = pack_streams(query, targets, n_streams)
+    strip = np.asarray(
+        sw_scores_stream_strip(batch.q, batch.stream, pen, interpret=interpret)
+    )
+    return gather_stream_scores(strip, batch)
