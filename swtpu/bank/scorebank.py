@@ -94,6 +94,8 @@ class ScoreBank:
         event_log: optional swtpu.utils.EventLog receiving one structured
         record per dispatched batch (the trace-array/debug.log analog)."""
         cfg = self.config
+        if self.backend == "stream":
+            return self._score_database_stream(query, targets, event_log)
         t0 = time.perf_counter()
         batches = pack_many_vs_one(
             query,
@@ -127,3 +129,37 @@ class ScoreBank:
                 )
         elapsed = time.perf_counter() - t0
         return ScoreResult(scores, cells, padded, elapsed)
+
+    def _score_database_stream(self, query, targets, event_log=None) -> ScoreResult:
+        """Streamed wavefront path: no length buckets at all — ragged reads
+        concatenate back-to-back per stream (the systolic feeder design)."""
+        from swtpu.bank.streams import (
+            gather_stream_scores,
+            pack_streams,
+            LANES,
+        )
+        from swtpu.ops.pallas_stream import sw_scores_stream_strip
+
+        t0 = time.perf_counter()
+        batch = pack_streams(query, targets, n_streams=self.config.block_pairs // 4 or 256)
+        strip = np.asarray(
+            sw_scores_stream_strip(
+                batch.q, batch.stream, self.config.penalties,
+                interpret=self._interpret,
+            )
+        )
+        scores = gather_stream_scores(strip, batch)
+        elapsed = time.perf_counter() - t0
+        padded = batch.stream.shape[0] * batch.stream.shape[1] * LANES
+        if event_log is not None:
+            from swtpu.utils import BatchEvent
+
+            event_log.emit(
+                BatchEvent(
+                    "stream", t_wall=time.time(), elapsed_s=elapsed,
+                    reads=len(targets), cells=batch.cells,
+                    padded_cells=padded,
+                    note=f"streams={batch.stream.shape[0]} T={batch.stream.shape[1]}",
+                )
+            )
+        return ScoreResult(scores, batch.cells, padded, elapsed)

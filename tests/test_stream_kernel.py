@@ -1,0 +1,69 @@
+"""Streamed wavefront kernel: packing, kernel parity, ScoreBank backend."""
+
+import jax
+import numpy as np
+import pytest
+
+from swtpu.bank.streams import (
+    gather_stream_scores,
+    pack_streams,
+    score_streams,
+)
+from swtpu.config import Penalties, SWConfig
+from swtpu.oracle import score_many_vs_one
+
+INTERPRET = jax.default_backend() != "tpu"
+
+
+def _targets(rng, n, lo=3, hi=60):
+    return [rng.integers(0, 4, size=rng.integers(lo, hi)).astype(np.int8) for _ in range(n)]
+
+
+def test_pack_streams_structure():
+    rng = np.random.default_rng(0)
+    targets = _targets(rng, 10)
+    query = rng.integers(0, 4, size=16).astype(np.int8)
+    b = pack_streams(query, targets, n_streams=4)
+    assert b.stream.shape[1] % 128 == 0
+    # every target's first char is flagged exactly once per target
+    n_flags = int((b.stream >= 8).sum())
+    assert n_flags == len(targets)
+    # emission steps within bounds and unique per (stream, step)
+    coords = set(zip(b.emit_stream.tolist(), b.emit_step.tolist()))
+    assert len(coords) == len(targets)
+    assert b.emit_step.max() < b.stream.shape[1]
+    assert b.cells == sum(16 * len(t) for t in targets)
+
+
+def test_stream_kernel_matches_oracle():
+    rng = np.random.default_rng(1)
+    targets = _targets(rng, 12)
+    query = rng.integers(0, 4, size=17).astype(np.int8)
+    want = score_many_vs_one(query, targets)
+    got = score_streams(query, targets, n_streams=8, interpret=INTERPRET)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_stream_kernel_custom_penalties_and_empty_reads():
+    rng = np.random.default_rng(2)
+    targets = _targets(rng, 6)
+    targets.insert(2, np.zeros((0,), np.int8))  # empty read scores 0
+    query = rng.integers(0, 4, size=9).astype(np.int8)
+    pen = Penalties(match=3, mismatch=-1, gap_open=-3, gap_extend=-2)
+    want = score_many_vs_one(query, targets, pen)
+    got = score_streams(query, targets, n_streams=4, penalties=pen, interpret=INTERPRET)
+    np.testing.assert_array_equal(got, want)
+    assert got[2] == 0
+
+
+def test_scorebank_stream_backend():
+    rng = np.random.default_rng(3)
+    targets = _targets(rng, 20, lo=5, hi=100)
+    query = rng.integers(0, 4, size=31).astype(np.int8)
+    want = score_many_vs_one(query, targets)
+    from swtpu.bank import ScoreBank
+
+    bank = ScoreBank(SWConfig(block_pairs=32), backend="stream", interpret=INTERPRET)
+    res = bank.score_database(query, targets)
+    np.testing.assert_array_equal(res.scores, want)
+    assert res.cells == sum(31 * len(t) for t in targets)
