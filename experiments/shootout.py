@@ -31,9 +31,12 @@ def main():
     from swtpu.bank.streams import pack_streams, gather_stream_scores
     from swtpu.ops.pallas_stream import sw_scores_stream_strip
 
+    import os
+
     rng = np.random.default_rng(0)
     m = n = 128
     B, Bs = 65536, 8192
+    only = os.environ.get("SHOOTOUT_ONLY", "")
     q = jax.device_put(rng.integers(0, 4, (B, m)).astype(np.int8))
     t = jax.device_put(rng.integers(0, 4, (B, n)).astype(np.int8))
     qs, ts = q[:Bs], t[:Bs]
@@ -45,19 +48,24 @@ def main():
         print(f"{name}: big {tb*1e3:.1f} ms, small {tsml*1e3:.1f} ms -> "
               f"{(cells-cells_s)/per/1e9:.1f} GCUPS", flush=True)
 
-    report(
-        "column-sublane int32",
-        lambda: np.asarray(sw_scores_pallas(q, t, block_pairs=1024, unroll=1)),
-        lambda: np.asarray(sw_scores_pallas(qs, ts, block_pairs=1024, unroll=1)),
-    )
-    report(
-        "column-lane    int32",
-        lambda: np.asarray(sw_scores_pallas_lane(q, t, block_pairs=512)),
-        lambda: np.asarray(sw_scores_pallas_lane(qs, ts, block_pairs=512)),
-    )
+    if not only or only == "sublane":
+        report(
+            "column-sublane int32",
+            lambda: np.asarray(sw_scores_pallas(q, t, block_pairs=1024, unroll=1)),
+            lambda: np.asarray(sw_scores_pallas(qs, ts, block_pairs=1024, unroll=1)),
+        )
+    if not only or only == "lane":
+        report(
+            "column-lane    int32",
+            lambda: np.asarray(sw_scores_pallas_lane(q, t, block_pairs=512)),
+            lambda: np.asarray(sw_scores_pallas_lane(qs, ts, block_pairs=512)),
+        )
+    if only and only != "stream":
+        return
 
     # wavefront: pack once (host-side), time kernel+gather
-    targets = [np.asarray(t[i]) for i in range(B)]
+    t_host = np.asarray(t)
+    targets = list(t_host)
     query = np.asarray(q[0])
     for S in (256, 512):
         batch = pack_streams(query, targets, n_streams=S)

@@ -130,6 +130,44 @@ class ScoreBank:
         elapsed = time.perf_counter() - t0
         return ScoreResult(scores, cells, padded, elapsed)
 
+    def score_pairs(
+        self,
+        queries: Sequence[np.ndarray],
+        targets: Sequence[np.ndarray],
+    ) -> ScoreResult:
+        """Score explicit (query, target) pairs (many-vs-many workloads).
+
+        Pairs are grouped by (query-width, target-bucket) shape and
+        dispatched densely; results return in submission order."""
+        from swtpu.bank.packer import pack_pairs
+        from swtpu.bank.buckets import plan_buckets
+
+        if len(queries) != len(targets):
+            raise ValueError("queries and targets must pair up")
+        cfg = self.config
+        t0 = time.perf_counter()
+        n = len(queries)
+        t_plan = plan_buckets([len(t) for t in targets], cfg.target_buckets)
+        q_plan = plan_buckets([len(q) for q in queries], cfg.target_buckets)
+        scores = np.zeros((n,), dtype=np.int32)
+        cells = padded = 0
+        groups = {}
+        for i in range(n):
+            groups.setdefault((q_plan.assignments[i], t_plan.assignments[i]), []).append(i)
+        for (qb, tb), idxs in groups.items():
+            batch = pack_pairs(
+                [queries[i] for i in idxs],
+                [targets[i] for i in idxs],
+                q_width=q_plan.bucket_lens[qb],
+                t_width=t_plan.bucket_lens[tb],
+                ids=np.asarray(idxs, np.int32),
+            )
+            s = self._score_batch(batch.q, batch.t)
+            scores[batch.ids] = s
+            cells += batch.cells
+            padded += batch.padded_cells
+        return ScoreResult(scores, cells, padded, time.perf_counter() - t0)
+
     def _score_database_stream(self, query, targets, event_log=None) -> ScoreResult:
         """Streamed wavefront path: no length buckets at all — ragged reads
         concatenate back-to-back per stream (the systolic feeder design)."""

@@ -77,3 +77,16 @@ def test_scorebank_golden_end_to_end():
     # top-K reporting (the reference's unfinished max/vld_max intent)
     top = res.top_k(3)
     assert top[0][0] == max(golden.values())
+
+
+def test_score_pairs_many_vs_many():
+    rng = np.random.default_rng(9)
+    n = 23
+    queries = [rng.integers(0, 4, size=rng.integers(4, 120)).astype(np.int8) for _ in range(n)]
+    targets = [rng.integers(0, 4, size=rng.integers(4, 250)).astype(np.int8) for _ in range(n)]
+    from swtpu.oracle import sw_score_single
+
+    want = np.array([sw_score_single(q, t) for q, t in zip(queries, targets)], np.int32)
+    bank = ScoreBank(SWConfig(target_buckets=(32, 128, 256)), backend="scan")
+    res = bank.score_pairs(queries, targets)
+    np.testing.assert_array_equal(res.scores, want)
