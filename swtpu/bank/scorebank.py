@@ -171,22 +171,18 @@ class ScoreBank:
     def _score_database_stream(self, query, targets, event_log=None) -> ScoreResult:
         """Streamed wavefront path: no length buckets at all — ragged reads
         concatenate back-to-back per stream (the systolic feeder design)."""
-        from swtpu.bank.streams import (
-            gather_stream_scores,
-            pack_streams,
-            LANES,
-        )
-        from swtpu.ops.pallas_stream import sw_scores_stream_strip
+        from swtpu.bank.streams import pack_streams, LANES
+        from swtpu.ops.pallas_stream import sw_scores_stream
 
         t0 = time.perf_counter()
         batch = pack_streams(query, targets, n_streams=self.config.block_pairs // 4 or 256)
-        strip = np.asarray(
-            sw_scores_stream_strip(
-                batch.q, batch.stream, self.config.penalties,
-                interpret=self._interpret,
+        scores = np.asarray(
+            sw_scores_stream(
+                batch.q, batch.stream,
+                batch.emit_stream, batch.emit_step.astype(np.int32),
+                self.config.penalties, interpret=self._interpret,
             )
         )
-        scores = gather_stream_scores(strip, batch)
         elapsed = time.perf_counter() - t0
         padded = batch.stream.shape[0] * batch.stream.shape[1] * LANES
         if event_log is not None:

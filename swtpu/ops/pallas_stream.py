@@ -148,6 +148,13 @@ def sw_scores_stream_strip(
         raise ValueError(f"stream length {T} not a multiple of {LANES}")
     nc = T // LANES
 
+    return _strip_call(q, stream, ma, mi, go, ge, interpret)
+
+
+def _strip_call(q, stream, ma, mi, go, ge, interpret):
+    S, _ = q.shape
+    T = stream.shape[1]
+    nc = T // LANES
     kernel = functools.partial(_stream_kernel, ma=ma, mi=mi, go=go, ge=ge)
     out = pl.pallas_call(
         kernel,
@@ -165,3 +172,25 @@ def sw_scores_stream_strip(
         interpret=interpret,
     )(q.astype(jnp.int8), stream.astype(jnp.int8))
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("penalties", "interpret"))
+def sw_scores_stream(
+    q: jnp.ndarray,
+    stream: jnp.ndarray,
+    emit_stream: jnp.ndarray,
+    emit_step: jnp.ndarray,
+    penalties: Penalties = DEFAULT_PENALTIES,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Wavefront scoring with on-device emission gather: only the per-read
+    scores leave the chip (the strip stays in HBM) — the analog of the
+    result-mux tap at `output_select` (ScoreBank/ScoringModule_v1.1.v:102-107).
+
+    emit_step < 0 marks a zero-length read (score 0)."""
+    ma, mi, go, ge = penalties.astuple()
+    strip = _strip_call(q, stream, ma, mi, go, ge, interpret)
+    live = emit_step >= 0
+    safe_step = jnp.where(live, emit_step, 0)
+    scores = strip[emit_stream, safe_step]
+    return jnp.where(live, scores, 0).astype(jnp.int32)
