@@ -51,11 +51,12 @@ def _shift_down(x: jnp.ndarray, k: int, fill: jnp.ndarray, row_iota) -> jnp.ndar
 T_CHUNK = 32
 
 
-def _sw_kernel(q_ref, t_ref, out_ref, *, ma, mi, go, ge, unroll, chunk):
+def _sw_kernel(q_ref, t_ref, out_ref, *, ma, mi, go, ge, unroll, chunk, dt=jnp.int32):
     m, bt = q_ref.shape
     n = t_ref.shape[0]
-    dt = jnp.int32
-    neg = jnp.array(-(2**30), dt)
+    # f32 state is exact for integer scores below 2^24 and can be faster on
+    # the VPU; int32 is the default.
+    neg = jnp.array(-(2**23) if dt == jnp.float32 else -(2**30), dt)
     zero = jnp.array(0, dt)
     row_iota = jax.lax.broadcasted_iota(dt, (m, 1), 0)
     # compare in int32 so the predicate has int32 layout (int8 i1 vectors
@@ -100,7 +101,7 @@ def _sw_kernel(q_ref, t_ref, out_ref, *, ma, mi, go, ge, unroll, chunk):
         jnp.zeros((m, bt), dt),
     )
     _, _, H = jax.lax.fori_loop(0, n // chunk, chunk_step, init, unroll=unroll)
-    out_ref[0, :] = jnp.max(H, axis=0)
+    out_ref[0, :] = jnp.max(H, axis=0).astype(jnp.int32)
 
 
 def _block_pairs_default(m: int) -> int:
@@ -113,7 +114,8 @@ def _block_pairs_default(m: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("penalties", "block_pairs", "interpret", "unroll")
+    jax.jit,
+    static_argnames=("penalties", "block_pairs", "interpret", "unroll", "state_dtype"),
 )
 def sw_scores_pallas(
     q: jnp.ndarray,
@@ -122,6 +124,7 @@ def sw_scores_pallas(
     block_pairs: int | None = None,
     interpret: bool = False,
     unroll: int = 4,
+    state_dtype: str = "int32",
 ) -> jnp.ndarray:
     """Score a batch of (query, target) pairs on TPU.
 
@@ -164,7 +167,8 @@ def sw_scores_pallas(
     tT = t.astype(jnp.int8).T  # [n, Bp]
 
     kernel = functools.partial(
-        _sw_kernel, ma=ma, mi=mi, go=go, ge=ge, unroll=unroll, chunk=chunk
+        _sw_kernel, ma=ma, mi=mi, go=go, ge=ge, unroll=unroll, chunk=chunk,
+        dt=jnp.dtype(state_dtype).type if state_dtype != "int32" else jnp.int32,
     )
     out = pl.pallas_call(
         kernel,

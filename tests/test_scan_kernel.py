@@ -68,3 +68,15 @@ def test_scan_matches_oracle_on_reference_sets():
         qp, tp = sentinel_pad_batch(qb, q_lens, t, t_lens)
         got = np.asarray(sw_scores_scan(qp, tp))
         np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("m,n", [(256, 64), (512, 40)])
+def test_scan_long_queries(m, n):
+    # query length scales freely (the reference's chaining-ports intent,
+    # ScoreBank/ScoringModule_v1.1.v:36-54); 12-bit LEN_WIDTH implied 4095
+    rng = np.random.default_rng(m)
+    q, q_lens, t, t_lens = _random_ragged(rng, 4, m, n)
+    want = sw_score_batch(q, t, q_lens, t_lens)
+    qp, tp = sentinel_pad_batch(q, q_lens, t, t_lens)
+    got = np.asarray(sw_scores_scan(qp, tp))
+    np.testing.assert_array_equal(got, want)
