@@ -45,6 +45,9 @@ from swtpu.config import DEFAULT_PENALTIES, Penalties
 LANES = 128
 FLAG_BIT = 8  # first-char-of-target marker in the stream bytes
 DRAIN = LANES - 1
+# steps per grid chunk: bounds the unrolled kernel body (compile time) while
+# the grid pipelines the char/strip block streaming
+STEP_CHUNK = 32
 
 
 def _stream_kernel(q_ref, s_ref, out_ref, mip, iip, mpp, ipp, hp, cp, *, ma, mi, go, ge):
@@ -54,6 +57,7 @@ def _stream_kernel(q_ref, s_ref, out_ref, mip, iip, mpp, ipp, hp, cp, *, ma, mi,
     zero = jnp.array(0, dt)
     c = pl.program_id(1)
     lane_iota = jax.lax.broadcasted_iota(dt, (1, LANES), 1)
+    chunk_iota = jax.lax.broadcasted_iota(dt, (1, chunk), 1)
     lane0 = lane_iota == 0
 
     @pl.when(c == 0)
@@ -102,7 +106,7 @@ def _stream_kernel(q_ref, s_ref, out_ref, mip, iip, mpp, ipp, hp, cp, *, ma, mi,
         Hc = jnp.maximum(jnp.maximum(H_in, H_own), Mc)
         # capture lane 127 into the emission strip
         strip = jnp.where(
-            lane_iota == r,
+            chunk_iota == r,
             jax.lax.broadcast_in_dim(Hc[:, LANES - 1], (S, 1), (0,)),
             strip,
         )
@@ -144,9 +148,8 @@ def sw_scores_stream_strip(
     T = stream.shape[1]
     if m != LANES:
         raise ValueError(f"stream kernel requires q width {LANES}, got {m}")
-    if T % LANES:
-        raise ValueError(f"stream length {T} not a multiple of {LANES}")
-    nc = T // LANES
+    if T % STEP_CHUNK:
+        raise ValueError(f"stream length {T} not a multiple of {STEP_CHUNK}")
 
     return _strip_call(q, stream, ma, mi, go, ge, interpret)
 
@@ -154,16 +157,18 @@ def sw_scores_stream_strip(
 def _strip_call(q, stream, ma, mi, go, ge, interpret):
     S, _ = q.shape
     T = stream.shape[1]
-    nc = T // LANES
+    nc = T // STEP_CHUNK
     kernel = functools.partial(_stream_kernel, ma=ma, mi=mi, go=go, ge=ge)
     out = pl.pallas_call(
         kernel,
         grid=(1, nc),
         in_specs=[
             pl.BlockSpec((S, LANES), lambda b, c: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, LANES), lambda b, c: (0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, STEP_CHUNK), lambda b, c: (0, c), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((S, LANES), lambda b, c: (0, c), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (S, STEP_CHUNK), lambda b, c: (0, c), memory_space=pltpu.VMEM
+        ),
         out_shape=jax.ShapeDtypeStruct((S, T), jnp.int32),
         scratch_shapes=[pltpu.VMEM((S, LANES), jnp.int32) for _ in range(6)],
         cost_estimate=pl.CostEstimate(
