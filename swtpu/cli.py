@@ -202,6 +202,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     pd.add_argument("b")
     pd.set_defaults(fn=cmd_diff)
 
+    pr = sub.add_parser("regress", help="run a config-driven regression suite")
+    pr.add_argument("--suite", help="JSON suite file (defaults built in)")
+    pr.set_defaults(fn=lambda a: __import__(
+        "swtpu.testing.suite", fromlist=["main_cli"]
+    ).main_cli(a.suite))
+
     args = ap.parse_args(argv)
     return args.fn(args)
 

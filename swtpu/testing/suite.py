@@ -1,0 +1,139 @@
+"""Config-driven regression suites.
+
+The reference's PSLSE regression is orchestrated by regress.py reading XML
+suite files that set the AFU descriptor, the randomization ranges
+(SEED/RESPONSE/PAGED/REORDER/BUFFER percents), a test list, and a fail
+severity (pslse-master/test/regress/regress.py + main.xml:1-26).  swtpu's
+equivalent: a JSON suite describing fault-injection ranges, mesh/process
+topology, datasets, and the checks to run; `run_suite` executes it
+hardware-free and returns structured pass/fail.
+
+Run via CLI:  python -m swtpu.cli regress --suite suites/default.json
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Union
+
+import numpy as np
+
+DEFAULT_SUITE: Dict[str, Any] = {
+    "name": "default",
+    "seed": 1234,
+    "fail": "ERROR",  # ERROR: nonzero exit on failure; WARNING: report only
+    "faults": {"reorder_percent": 100, "drop_percent": 30, "delay_ms_max": 1},
+    "datasets": [
+        {"reads": 40, "min_len": 5, "max_len": 200, "query_len": 31},
+        {"reads": 15, "min_len": 1, "max_len": 32, "query_len": 8},
+    ],
+    "tests": ["oracle_parity", "faulted_scheduling", "resume", "topk_merge"],
+    "multihost": {"enabled": False, "nprocs": 2},
+}
+
+
+@dataclasses.dataclass
+class TestOutcome:
+    name: str
+    dataset: int
+    passed: bool
+    detail: str = ""
+
+
+def _gen_dataset(rng, spec):
+    targets = [
+        rng.integers(0, 4, size=rng.integers(spec["min_len"], spec["max_len"] + 1)).astype(np.int8)
+        for _ in range(spec["reads"])
+    ]
+    query = rng.integers(0, 4, size=spec["query_len"]).astype(np.int8)
+    return query, targets
+
+
+def run_suite(
+    suite: Optional[Union[str, Path, Dict[str, Any]]] = None,
+) -> List[TestOutcome]:
+    from swtpu.bank import ScoreBank
+    from swtpu.bank.resume import score_database_resumable
+    from swtpu.config import SWConfig
+    from swtpu.oracle import score_many_vs_one
+    from swtpu.testing.faults import FaultConfig, score_database_with_faults
+
+    if suite is None:
+        cfg = dict(DEFAULT_SUITE)
+    elif isinstance(suite, (str, Path)):
+        cfg = {**DEFAULT_SUITE, **json.loads(Path(suite).read_text())}
+    else:
+        cfg = {**DEFAULT_SUITE, **suite}
+
+    rng = np.random.default_rng(cfg["seed"])
+    outcomes: List[TestOutcome] = []
+    bank = ScoreBank(SWConfig(target_buckets=(32, 128, 256, 1024)), backend="scan")
+
+    for di, spec in enumerate(cfg["datasets"]):
+        query, targets = _gen_dataset(rng, spec)
+        want = score_many_vs_one(query, targets)
+
+        def record(name, passed, detail=""):
+            outcomes.append(TestOutcome(name, di, bool(passed), detail))
+
+        if "oracle_parity" in cfg["tests"]:
+            res = bank.score_database(query, targets)
+            record("oracle_parity", np.array_equal(res.scores, want))
+
+        if "faulted_scheduling" in cfg["tests"]:
+            fc = FaultConfig(seed=cfg["seed"] + di, **cfg["faults"])
+            scores, inj = score_database_with_faults(bank, query, targets, fc)
+            record(
+                "faulted_scheduling",
+                np.array_equal(scores, want),
+                f"drops={inj.injected_drops} reorders={inj.injected_reorders}",
+            )
+
+        if "resume" in cfg["tests"]:
+            import tempfile
+
+            with tempfile.TemporaryDirectory() as td:
+                state = Path(td) / "job.npz"
+                r1 = score_database_resumable(bank, query, targets, state)
+                r2 = score_database_resumable(bank, query, targets, state)
+                record(
+                    "resume",
+                    np.array_equal(r1.scores, want) and np.array_equal(r2.scores, want),
+                )
+
+        if "topk_merge" in cfg["tests"]:
+            res = bank.score_database(query, targets)
+            top = res.top_k(5)
+            ok = all(want[i] == s for s, i in top) and top[0][0] == want.max()
+            record("topk_merge", ok)
+
+    if cfg.get("multihost", {}).get("enabled"):
+        from swtpu.testing.regress import run_multihost
+
+        nprocs = cfg["multihost"]["nprocs"]
+        B = 8 * nprocs
+        q = rng.integers(0, 4, size=(B, 16)).astype(np.int8)
+        t = rng.integers(0, 4, size=(B, 24)).astype(np.int8)
+        from swtpu.oracle import sw_score_batch
+
+        want = sw_score_batch(q, t)
+        res = run_multihost(q, t, np.arange(B, dtype=np.int32), nprocs=nprocs)
+        outcomes.append(
+            TestOutcome("multihost", -1, bool(np.array_equal(res.scores, want)))
+        )
+    return outcomes
+
+
+def main_cli(suite_path: Optional[str]) -> int:
+    t0 = time.time()
+    outcomes = run_suite(suite_path)
+    failed = [o for o in outcomes if not o.passed]
+    for o in outcomes:
+        status = "PASS" if o.passed else "FAIL"
+        extra = f"  ({o.detail})" if o.detail else ""
+        print(f"{status} ds{o.dataset} {o.name}{extra}")
+    print(f"# {len(outcomes)-len(failed)}/{len(outcomes)} passed in {time.time()-t0:.1f}s")
+    return 1 if failed else 0
