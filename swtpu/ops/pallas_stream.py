@@ -6,29 +6,33 @@ prefix scan entirely:
 
   FPGA (ScoreBank/ScoringModule_v1.1.v)     swtpu stream kernel
   --------------------------------------    ----------------------------------
-  one PE per query base (chain of 128)      one VPU *lane* per query base
-  target bases shift 1 PE/cycle             char register rolls 1 lane/step
-  M/I/High per-PE registers                 M/I/H arrays [streams, 128]
+  one PE per query base (chain of 128)      one VPU *sublane row* per query base
+  target bases shift 1 PE/cycle             char register rolls 1 row/step
+  M/I/High per-PE registers                 M/I/H arrays [128, streams]
   feeders stream targets back-to-back       concatenated target streams
   per-toggle ID FIFOs pair results          host-computed emission indices
   High ripples down the chain               H rolls with the data
 
-Every lane computes one DP cell per step (cell (i, j) on the wavefront
-j = step - i), so cells/step = streams x 128 with no prefix scan and ~100%
-pipe utilization on ragged targets (ramp cost is one 127-step drain per
-stream, amortized over the whole stream).
+Layout: query positions on sublanes (axis 0), streams on lanes (axis 1) —
+chosen so the per-step char injection is a natural row write and the
+per-chunk stream/strip blocks [STEP_CHUNK, S] satisfy the TPU block-shape
+rules (last dim = S = lane multiple).
+
+Every (row, lane) computes one DP cell per step (cell (i, j) on the
+wavefront j = step - i), so cells/step = 128 x streams with no prefix scan
+and ~100% pipe utilization on ragged targets.
 
 Streams are the reference's feeder lanes: the host concatenates each
 stream's targets back-to-back (swtpu.bank.streams), marking each target's
 first char with flag bit 3.  Boundary resets are data-driven by that flag —
 the vectorized equivalent of the feeder's en/ld handshake.  The kernel
-writes the full H[lane 127] history strip; the host gathers each target's
-score at its end step  off + len - 1 + 127.
+writes the H[row 127] history strip; scores gather at step off + len - 1 +
+127 (on device, sw_scores_stream).
 
-State persists across step-chunks in VMEM scratch (the grid's second
-dimension only streams the char/strip blocks through), so stream length is
-unbounded — the realization of the reference's reserved module-chaining
-ports (ScoreBank/ScoringModule_v1.1.v:36-54).
+State persists across step-chunks in VMEM scratch (the grid dimension only
+streams the char/strip blocks through), so stream length is unbounded — the
+realization of the reference's reserved module-chaining ports
+(ScoreBank/ScoringModule_v1.1.v:36-54).
 """
 
 from __future__ import annotations
@@ -42,7 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from swtpu.config import DEFAULT_PENALTIES, Penalties
 
-LANES = 128
+LANES = 128  # query capacity (sublane rows of the wavefront register file)
 FLAG_BIT = 8  # first-char-of-target marker in the stream bytes
 DRAIN = LANES - 1
 # steps per grid chunk: bounds the unrolled kernel body (compile time) while
@@ -51,24 +55,23 @@ STEP_CHUNK = 32
 
 
 def _stream_kernel(q_ref, s_ref, out_ref, mip, iip, mpp, ipp, hp, cp, *, ma, mi, go, ge):
-    S = q_ref.shape[0]
-    chunk = s_ref.shape[1]
+    S = q_ref.shape[1]
+    chunk = s_ref.shape[0]
     dt = jnp.int32
     zero = jnp.array(0, dt)
-    c = pl.program_id(1)
-    lane_iota = jax.lax.broadcasted_iota(dt, (1, LANES), 1)
-    chunk_iota = jax.lax.broadcasted_iota(dt, (1, chunk), 1)
-    lane0 = lane_iota == 0
+    c = pl.program_id(0)
+    row_iota = jax.lax.broadcasted_iota(dt, (LANES, 1), 0)
+    row0 = row_iota == 0
 
     @pl.when(c == 0)
     def _init():
-        z = jnp.zeros((S, LANES), dt)
+        z = jnp.zeros((LANES, S), dt)
         mip[...] = z
         iip[...] = z
         mpp[...] = z
         ipp[...] = z
         hp[...] = z
-        cp[...] = jnp.full((S, LANES), 4, dt)  # sentinel-filled pipe
+        cp[...] = jnp.full((LANES, S), 4, dt)  # sentinel-filled pipe
 
     q = q_ref[...].astype(dt)
     sc = s_ref[...].astype(dt)
@@ -77,43 +80,39 @@ def _stream_kernel(q_ref, s_ref, out_ref, mip, iip, mpp, ipp, hp, cp, *, ma, mi,
     )
     oe = jnp.array(go + ge, dt)
     gext = jnp.array(ge, dt)
-    strip = jnp.zeros((S, chunk), dt)
+    strip_rows = []
 
     for r in range(chunk):
-        # advance the systolic pipe: new char enters lane 0
-        newc = jax.lax.broadcast_in_dim(sc[:, r], (S, 1), (0,))
-        C = jnp.where(lane0, newc, pltpu.roll(C, 1, axis=1))
+        # advance the systolic pipe: new char enters row 0
+        newc = sc[r : r + 1, :]
+        C = jnp.where(row0, newc, pltpu.roll(C, 1, axis=0))
         f0 = C >= FLAG_BIT
         cval = C & 7
         s = jnp.where(cval == q, ma, mi).astype(dt)
-        # diagonal: neighbours' state two steps back; zero at lane 0 (chain
+        # diagonal: neighbours' state two steps back; zero at row 0 (chain
         # head ties, SW_ProcessingElement_v1.0.v:156-164) and at target
         # starts (column -1)
-        diag = jnp.maximum(pltpu.roll(Mpp, 1, axis=1), pltpu.roll(Ipp, 1, axis=1))
-        diag = jnp.where(jnp.logical_or(lane0, f0), zero, diag)
+        diag = jnp.maximum(pltpu.roll(Mpp, 1, axis=0), pltpu.roll(Ipp, 1, axis=0))
+        diag = jnp.where(jnp.logical_or(row0, f0), zero, diag)
         Mc = jnp.maximum(diag + s, 0)
         # merged in-del: up = neighbour one step back, left = own one step back
-        M_up = jnp.where(lane0, zero, pltpu.roll(Mp, 1, axis=1))
+        M_up = jnp.where(row0, zero, pltpu.roll(Mp, 1, axis=0))
         M_left = jnp.where(f0, zero, Mp)
-        I_up = jnp.where(lane0, zero, pltpu.roll(Ip, 1, axis=1))
+        I_up = jnp.where(row0, zero, pltpu.roll(Ip, 1, axis=0))
         I_left = jnp.where(f0, zero, Ip)
         Ic = jnp.maximum(
             jnp.maximum(M_up, M_left) + oe, jnp.maximum(I_up, I_left) + gext
         )
         # high score ripples with the data; own register resets at target start
-        H_in = jnp.where(lane0, zero, pltpu.roll(Hp, 1, axis=1))
+        H_in = jnp.where(row0, zero, pltpu.roll(Hp, 1, axis=0))
         H_own = jnp.where(f0, zero, Hp)
         Hc = jnp.maximum(jnp.maximum(H_in, H_own), Mc)
-        # capture lane 127 into the emission strip
-        strip = jnp.where(
-            chunk_iota == r,
-            jax.lax.broadcast_in_dim(Hc[:, LANES - 1], (S, 1), (0,)),
-            strip,
-        )
+        # capture row 127 for the emission strip
+        strip_rows.append(Hc[LANES - 1 : LANES, :])
         Mpp, Ipp = Mp, Ip
         Mp, Ip, Hp = Mc, Ic, Hc
 
-    out_ref[...] = strip
+    out_ref[...] = jnp.concatenate(strip_rows, axis=0)
     mip[...] = Mp
     iip[...] = Ip
     mpp[...] = Mpp
@@ -122,9 +121,33 @@ def _stream_kernel(q_ref, s_ref, out_ref, mip, iip, mpp, ipp, hp, cp, *, ma, mi,
     cp[...] = C
 
 
-@functools.partial(
-    jax.jit, static_argnames=("penalties", "interpret")
-)
+def _strip_call(qT, streamT, ma, mi, go, ge, interpret):
+    """qT: [128, S] int8, streamT: [T, S] int8 -> strip [T, S] int32."""
+    S = qT.shape[1]
+    T = streamT.shape[0]
+    nc = T // STEP_CHUNK
+    kernel = functools.partial(_stream_kernel, ma=ma, mi=mi, go=go, ge=ge)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((LANES, S), lambda c: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((STEP_CHUNK, S), lambda c: (c, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (STEP_CHUNK, S), lambda c: (c, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((T, S), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((LANES, S), jnp.int32) for _ in range(6)],
+        cost_estimate=pl.CostEstimate(
+            flops=30 * S * LANES * T, bytes_accessed=(S * T) * 5, transcendentals=0
+        ),
+        interpret=interpret,
+    )(qT.astype(jnp.int8), streamT.astype(jnp.int8))
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("penalties", "interpret"))
 def sw_scores_stream_strip(
     q: jnp.ndarray,
     stream: jnp.ndarray,
@@ -136,10 +159,10 @@ def sw_scores_stream_strip(
     Args:
       q: [S, 128] int8 per-stream query codes (sentinel-padded).
       stream: [S, T] int8 concatenated target chars (codes 0..3, +8 flag on
-        each target's first char, 4 = drain/pad), T % 128 == 0.
+        each target's first char, 4 = drain/pad), T % STEP_CHUNK == 0.
       penalties: static scoring penalties.
 
-    Returns: [S, T] int32 — H at lane 127 after each step; index
+    Returns: [S, T] int32 — H at row 127 after each step; index
     [s, off+len-1+127] holds the score of the target at offset `off`.
     Use swtpu.bank.streams to build inputs and gather scores.
     """
@@ -150,33 +173,10 @@ def sw_scores_stream_strip(
         raise ValueError(f"stream kernel requires q width {LANES}, got {m}")
     if T % STEP_CHUNK:
         raise ValueError(f"stream length {T} not a multiple of {STEP_CHUNK}")
-
-    return _strip_call(q, stream, ma, mi, go, ge, interpret)
-
-
-def _strip_call(q, stream, ma, mi, go, ge, interpret):
-    S, _ = q.shape
-    T = stream.shape[1]
-    nc = T // STEP_CHUNK
-    kernel = functools.partial(_stream_kernel, ma=ma, mi=mi, go=go, ge=ge)
-    out = pl.pallas_call(
-        kernel,
-        grid=(1, nc),
-        in_specs=[
-            pl.BlockSpec((S, LANES), lambda b, c: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, STEP_CHUNK), lambda b, c: (0, c), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (S, STEP_CHUNK), lambda b, c: (0, c), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((S, T), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((S, LANES), jnp.int32) for _ in range(6)],
-        cost_estimate=pl.CostEstimate(
-            flops=30 * S * LANES * T, bytes_accessed=(S * T) * 5, transcendentals=0
-        ),
-        interpret=interpret,
-    )(q.astype(jnp.int8), stream.astype(jnp.int8))
-    return out
+    if S % 128 and not interpret:
+        raise ValueError(f"n_streams {S} must be a multiple of 128 (lane dim)")
+    out = _strip_call(q.T, stream.T, ma, mi, go, ge, interpret)
+    return out.T
 
 
 @functools.partial(jax.jit, static_argnames=("penalties", "interpret"))
@@ -194,8 +194,16 @@ def sw_scores_stream(
 
     emit_step < 0 marks a zero-length read (score 0)."""
     ma, mi, go, ge = penalties.astuple()
-    strip = _strip_call(q, stream, ma, mi, go, ge, interpret)
+    S, m = q.shape
+    T = stream.shape[1]
+    if m != LANES:
+        raise ValueError(f"stream kernel requires q width {LANES}, got {m}")
+    if T % STEP_CHUNK:
+        raise ValueError(f"stream length {T} not a multiple of {STEP_CHUNK}")
+    if S % 128 and not interpret:
+        raise ValueError(f"n_streams {S} must be a multiple of 128 (lane dim)")
+    strip = _strip_call(q.T, stream.T, ma, mi, go, ge, interpret)  # [T, S]
     live = emit_step >= 0
     safe_step = jnp.where(live, emit_step, 0)
-    scores = strip[emit_stream, safe_step]
+    scores = strip[safe_step, emit_stream]
     return jnp.where(live, scores, 0).astype(jnp.int32)
