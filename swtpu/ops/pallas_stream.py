@@ -142,6 +142,11 @@ def _strip_call(qT, streamT, ma, mi, go, ge, interpret):
         cost_estimate=pl.CostEstimate(
             flops=30 * S * LANES * T, bytes_accessed=(S * T) * 5, transcendentals=0
         ),
+        # the wavefront state in scratch carries across grid steps: the grid
+        # MUST execute sequentially, never be parallelized
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
         interpret=interpret,
     )(qT.astype(jnp.int8), streamT.astype(jnp.int8))
     return out
