@@ -13,16 +13,32 @@ removed.
 """
 
 import json
+import os
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
 
 BASELINE_GCUPS = 256.0
 
 
-def measure_gcups(m=128, n=128, block_pairs=1024, sizes=(16384, 65536, 262144, 524288), reps=4):
+def _enable_compile_cache():
     import jax
+
+    cache = Path(__file__).resolve().parent / ".jaxcache"
+    cache.mkdir(exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+def measure_gcups(m=128, n=128, block_pairs=1024, sizes=(32768, 262144), reps=4):
+    import jax
+
+    _enable_compile_cache()
 
     from swtpu.ops.pallas_kernel import sw_scores_pallas
     from swtpu.ops.scan import sw_scores_scan

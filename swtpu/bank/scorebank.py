@@ -58,6 +58,7 @@ class ScoreBank:
         config: SWConfig = SWConfig(),
         backend: str = "auto",
         interpret: Optional[bool] = None,
+        verify_integrity: bool = False,
     ):
         self.config = config
         import jax
@@ -68,6 +69,9 @@ class ScoreBank:
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         self._interpret = interpret
+        # parity-checking analog (SURVEY.md §5): validate packed batches and
+        # score bounds; cheap relative to scoring, off by default in prod
+        self.verify_integrity = verify_integrity
 
     def _score_batch(self, q: np.ndarray, t: np.ndarray) -> np.ndarray:
         pen = self.config.penalties
@@ -108,7 +112,16 @@ class ScoreBank:
         padded = 0
         for batch in batches:
             tb = time.perf_counter()
+            if self.verify_integrity:
+                from swtpu.utils.guards import check_packed_query, check_packed_target
+
+                check_packed_query(batch.q, batch.q_lens)
+                check_packed_target(batch.t, batch.t_lens)
             s = self._score_batch(batch.q, batch.t)
+            if self.verify_integrity:
+                from swtpu.utils.guards import check_scores
+
+                check_scores(s, batch.q_lens, batch.t_lens, cfg.penalties.match)
             live = batch.ids >= 0
             scores[batch.ids[live]] = s[live]
             cells += batch.cells
