@@ -20,6 +20,10 @@ import numpy as np
 def main():
     import jax
 
+    from bench import _enable_compile_cache
+
+    _enable_compile_cache()
+
     if jax.default_backend() != "tpu" and len(jax.devices()) < 2:
         # re-exec guard not needed; conftest-style virtual devices only help
         # when set before backend init.  Run under:

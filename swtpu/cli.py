@@ -173,7 +173,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     ps.add_argument("-o", "--output")
     ps.add_argument("-t", "--timeout", type=int, default=0, help="accepted for main_test.c parity; unused")
     ps.add_argument("--topk", type=int, default=0)
-    ps.add_argument("--backend", default="auto", choices=["auto", "scan", "pallas"])
+    ps.add_argument("--backend", default="auto", choices=["auto", "scan", "pallas", "stream"])
     ps.add_argument("--events", help="write per-batch JSONL event log here")
     ps.add_argument("--profile", help="write a jax.profiler trace to this dir")
     ps.add_argument("--resume", help="resumable job state file (WED analog)")
