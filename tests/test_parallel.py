@@ -60,3 +60,21 @@ def test_sharded_pallas_interpret(mesh):
     scorer = make_sharded_scorer(mesh, backend="pallas", interpret=True)
     got = np.asarray(scorer(qp, tp))
     np.testing.assert_array_equal(got, want)
+
+
+def test_multihost_api_single_process(mesh):
+    # score_database_multihost works degenerate-single-process over the
+    # virtual mesh (same code path real deployments use)
+    from swtpu.oracle import score_many_vs_one
+    from swtpu.parallel.multihost import score_database_multihost
+
+    rng = np.random.default_rng(5)
+    targets = [rng.integers(0, 4, size=rng.integers(4, 60)).astype(np.int8) for _ in range(24)]
+    query = rng.integers(0, 4, size=16).astype(np.int8)
+    want = score_many_vs_one(query, targets)
+    top_s, top_ids, local = score_database_multihost(
+        query, targets, np.arange(24, dtype=np.int32), mesh=mesh, k=4
+    )
+    np.testing.assert_array_equal(local, want)
+    for s, i in zip(top_s, top_ids):
+        assert want[i] == s
