@@ -1,0 +1,122 @@
+"""One-compile-per-run TPU steps (tunnel-friendly).  Usage:
+python -u experiments/tpu_step.py <step>
+Steps: probe | parity | bench_s256 | bench_s1024 | bench_f32 | bench_col
+"""
+
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", str(Path(__file__).parents[1] / ".jaxcache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def log(*a):
+    print(f"[{time.strftime('%H:%M:%S')}]", *a, flush=True)
+
+
+def timed(run, reps=2):
+    run()
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.time()
+        run()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def probe():
+    t0 = time.time()
+    x = jax.device_put(np.ones((8, 8), np.float32))
+    _ = np.asarray(x * 2)
+    log(f"probe ok {time.time()-t0:.1f}s")
+
+
+def parity():
+    from swtpu.bank.streams import gather_stream_scores, pack_streams
+    from swtpu.ops.pallas_stream import sw_scores_stream_strip
+    from swtpu.oracle import score_many_vs_one
+
+    rng = np.random.default_rng(0)
+    targets = [rng.integers(0, 4, size=rng.integers(3, 40)).astype(np.int8) for _ in range(20)]
+    query = rng.integers(0, 4, size=17).astype(np.int8)
+    want = score_many_vs_one(query, targets)
+    b = pack_streams(query, targets, n_streams=128)
+    log(f"S=128 T={b.stream.shape[1]} compiling/running...")
+    strip = np.asarray(sw_scores_stream_strip(b.q, b.stream))
+    got = gather_stream_scores(strip, b)
+    bad = np.nonzero(got != want)[0]
+    log(f"parity: {len(bad)} mismatches / {len(targets)}")
+    for i in bad[:5]:
+        s, e = b.emit_stream[i], b.emit_step[i]
+        log(f"  read {i}: want {want[i]} got {got[i]} s={s} e={e} len={len(targets[i])}"
+            f" strip[{s},{max(0,e-3)}:{e+4}]={strip[s, max(0,e-3):e+4]}")
+    if len(bad) == 0:
+        log("PARITY OK")
+
+
+def _stream_bench(S):
+    from swtpu.bank.streams import pack_streams
+    from swtpu.ops.pallas_stream import sw_scores_stream
+
+    rng = np.random.default_rng(0)
+    m = n = 128
+    B, Bs = 65536, 8192
+    qh = rng.integers(0, 4, (B, m)).astype(np.int8)
+    th = rng.integers(0, 4, (B, n)).astype(np.int8)
+    cells, cells_s = B * m * n, Bs * m * n
+    targets = list(th)
+    big = pack_streams(qh[0], targets, n_streams=S)
+    small = pack_streams(qh[0], targets[:Bs], n_streams=S)
+    dq, ds_ = jax.device_put(big.q), jax.device_put(big.stream)
+    es, ep = jax.device_put(big.emit_stream), jax.device_put(big.emit_step.astype(np.int32))
+    dqs, dss = jax.device_put(small.q), jax.device_put(small.stream)
+    ess, eps = jax.device_put(small.emit_stream), jax.device_put(small.emit_step.astype(np.int32))
+    log(f"stream S={S}: T={big.stream.shape[1]} compiling/running...")
+    tb = timed(lambda: np.asarray(sw_scores_stream(dq, ds_, es, ep)))
+    tsml = timed(lambda: np.asarray(sw_scores_stream(dqs, dss, ess, eps)))
+    g = (cells - cells_s) / (tb - tsml) / 1e9
+    log(f"stream S={S}: big {tb*1e3:.1f} small {tsml*1e3:.1f} -> {g:.1f} GCUPS")
+
+
+def _col_bench(state_dtype):
+    from swtpu.ops.pallas_kernel import sw_scores_pallas
+
+    rng = np.random.default_rng(0)
+    m = n = 128
+    B, Bs = 65536, 8192
+    q = jax.device_put(rng.integers(0, 4, (B, m)).astype(np.int8))
+    t = jax.device_put(rng.integers(0, 4, (B, n)).astype(np.int8))
+    qs, ts = q[:Bs], t[:Bs]
+    cells, cells_s = B * m * n, Bs * m * n
+    kw = dict(block_pairs=1024, unroll=1, state_dtype=state_dtype)
+    log(f"column {state_dtype} compiling/running...")
+    tb = timed(lambda: np.asarray(sw_scores_pallas(q, t, **kw)))
+    tsml = timed(lambda: np.asarray(sw_scores_pallas(qs, ts, **kw)))
+    g = (cells - cells_s) / (tb - tsml) / 1e9
+    log(f"column {state_dtype}: -> {g:.1f} GCUPS")
+
+
+if __name__ == "__main__":
+    step = sys.argv[1]
+    if step == "probe":
+        probe()
+    elif step == "parity":
+        parity()
+    elif step == "bench_s256":
+        _stream_bench(256)
+    elif step == "bench_s1024":
+        _stream_bench(1024)
+    elif step == "bench_f32":
+        _col_bench("float32")
+    elif step == "bench_col":
+        _col_bench("int32")
+    else:
+        raise SystemExit(f"unknown step {step}")
+    log("STEP DONE")

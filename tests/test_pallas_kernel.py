@@ -69,3 +69,30 @@ def test_pallas_on_tpu_full_size():
     qp, tp = sentinel_pad_batch(q, q_lens, t, t_lens)
     got = np.asarray(sw_scores_pallas(qp, tp, block_pairs=1024))
     np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_long_query_sublane():
+    # m > 128: the sublane-major layout extends the query dim freely (the
+    # chaining-ports intent); prefix scan runs log2(m) steps
+    rng = np.random.default_rng(21)
+    q, q_lens, t, t_lens = _random_ragged(rng, 4, 136, 16)
+    want = sw_score_batch(q, t, q_lens, t_lens)
+    qp, tp = sentinel_pad_batch(q, q_lens, t, t_lens)
+    got = np.asarray(
+        sw_scores_pallas(qp, tp, block_pairs=128, interpret=INTERPRET, unroll=1)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_f32_state():
+    rng = np.random.default_rng(22)
+    q, q_lens, t, t_lens = _random_ragged(rng, 8, 24, 24)
+    want = sw_score_batch(q, t, q_lens, t_lens)
+    qp, tp = sentinel_pad_batch(q, q_lens, t, t_lens)
+    got = np.asarray(
+        sw_scores_pallas(
+            qp, tp, block_pairs=128, interpret=INTERPRET, unroll=1,
+            state_dtype="float32",
+        )
+    )
+    np.testing.assert_array_equal(got, want)
