@@ -188,12 +188,25 @@ class ScoreBank:
         from swtpu.ops.pallas_stream import sw_scores_stream
 
         t0 = time.perf_counter()
-        batch = pack_streams(query, targets, n_streams=self.config.block_pairs // 4 or 256)
+        # segment short queries 4-per-column (100% wavefront occupancy for
+        # the reference's 32nt datasets)
+        if len(query) <= LANES // 4:
+            segments = 4
+        elif len(query) <= LANES // 2:
+            segments = 2
+        else:
+            segments = 1
+        # logical streams = physical lane columns x segments
+        phys = max(128, self.config.block_pairs // 4) if not self._interpret else 8
+        batch = pack_streams(
+            query, targets, n_streams=phys * segments, segments=segments
+        )
         scores = np.asarray(
             sw_scores_stream(
                 batch.q, batch.stream,
                 batch.emit_stream, batch.emit_step.astype(np.int32),
                 self.config.penalties, interpret=self._interpret,
+                segments=segments,
             )
         )
         elapsed = time.perf_counter() - t0

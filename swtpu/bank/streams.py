@@ -29,10 +29,11 @@ DRAIN = LANES - 1
 class StreamBatch:
     """Packed streams + emission map.
 
-    q: [S, 128] int8 per-stream query (replicated, sentinel-padded).
-    stream: [S, T] int8 flagged char streams, T % 128 == 0.
+    q: [N, 128//segments] int8 per-stream query (replicated, sentinel-padded).
+    stream: [N, T] int8 flagged char streams, T % STEP_CHUNK == 0.
     emit_stream / emit_step: [n_reads] gather coordinates into the strip.
     cells: real DP cells (query_len * sum target lens).
+    segments: queries per lane column the batch was packed for.
     """
 
     q: np.ndarray
@@ -40,6 +41,7 @@ class StreamBatch:
     emit_stream: np.ndarray
     emit_step: np.ndarray
     cells: int
+    segments: int = 1
 
     @property
     def total_steps(self) -> int:
@@ -50,11 +52,20 @@ def pack_streams(
     query: np.ndarray,
     targets: Sequence[np.ndarray],
     n_streams: int = 256,
+    segments: int = 1,
 ) -> StreamBatch:
     """Assign reads to streams (greedy shortest-stream), concatenate with
-    flags, compute emission coordinates."""
-    if len(query) > LANES:
-        raise ValueError(f"stream kernel query capacity is {LANES} bases")
+    flags, compute emission coordinates.
+
+    segments: queries per lane column in the kernel (1/2/4).  Short queries
+    (<= 128//segments bases) at segments=4 quadruple wavefront utilization."""
+    qcap = LANES // segments
+    drain = qcap - 1
+    if len(query) > qcap:
+        raise ValueError(
+            f"query of {len(query)} bases exceeds capacity {qcap} at "
+            f"segments={segments}"
+        )
     n_reads = len(targets)
     S = n_streams
     chunks: List[List[np.ndarray]] = [[] for _ in range(S)]
@@ -73,21 +84,23 @@ def pack_streams(
         flagged[0] |= FLAG
         chunks[s].append(flagged)
         emit_stream[r] = s
-        emit_step[r] = fill[s] + len(t) - 1 + DRAIN
+        emit_step[r] = fill[s] + len(t) - 1 + drain
         fill[s] += len(t)
         cells += len(query) * len(t)
 
-    T = int(fill.max()) + DRAIN if n_reads else LANES
-    T = -(-T // LANES) * LANES
+    from swtpu.ops.pallas_stream import STEP_CHUNK
+
+    T = int(fill.max()) + drain if n_reads else STEP_CHUNK
+    T = -(-T // STEP_CHUNK) * STEP_CHUNK
     stream = np.full((S, T), STREAM_PAD, dtype=np.int8)
     for s in range(S):
         if chunks[s]:
             cat = np.concatenate(chunks[s])
             stream[s, : len(cat)] = cat
 
-    q = np.full((S, LANES), Q_PAD, dtype=np.int8)
+    q = np.full((S, qcap), Q_PAD, dtype=np.int8)
     q[:, : len(query)] = np.asarray(query, dtype=np.int8)[None, :]
-    return StreamBatch(q, stream, emit_stream, emit_step, cells)
+    return StreamBatch(q, stream, emit_stream, emit_step, cells, segments)
 
 
 def gather_stream_scores(strip: np.ndarray, batch: StreamBatch) -> np.ndarray:
@@ -104,14 +117,17 @@ def score_streams(
     n_streams: int = 256,
     penalties=None,
     interpret: bool = False,
+    segments: int = 1,
 ) -> np.ndarray:
     """End-to-end streamed scoring: pack -> wavefront kernel -> gather."""
     from swtpu.config import DEFAULT_PENALTIES
     from swtpu.ops.pallas_stream import sw_scores_stream_strip
 
     pen = penalties or DEFAULT_PENALTIES
-    batch = pack_streams(query, targets, n_streams)
+    batch = pack_streams(query, targets, n_streams, segments=segments)
     strip = np.asarray(
-        sw_scores_stream_strip(batch.q, batch.stream, pen, interpret=interpret)
+        sw_scores_stream_strip(
+            batch.q, batch.stream, pen, interpret=interpret, segments=segments
+        )
     )
     return gather_stream_scores(strip, batch)

@@ -54,14 +54,22 @@ DRAIN = LANES - 1
 STEP_CHUNK = 32
 
 
-def _stream_kernel(q_ref, s_ref, out_ref, mip, iip, mpp, ipp, hp, cp, *, ma, mi, go, ge):
+def _stream_kernel(
+    q_ref, s_ref, out_ref, mip, iip, mpp, ipp, hp, cp, *, ma, mi, go, ge, seg
+):
+    """seg: query segments per lane column.  seg=1 uses all 128 rows for one
+    query; seg=G packs G independent queries of <=128/G bases per column
+    (each with its own char stream), quadrupling utilization for short-query
+    workloads (G=4 covers the reference's 32nt datasets at 100% occupancy).
+    Segment heads behave exactly like the chain head (boundary ties)."""
     S = q_ref.shape[1]
-    chunk = s_ref.shape[0]
+    chunk = s_ref.shape[0]  # stream block is [chunk, seg*S]
+    qcap = LANES // seg
     dt = jnp.int32
     zero = jnp.array(0, dt)
     c = pl.program_id(0)
     row_iota = jax.lax.broadcasted_iota(dt, (LANES, 1), 0)
-    row0 = row_iota == 0
+    seghead = row_iota % qcap == 0
 
     @pl.when(c == 0)
     def _init():
@@ -83,32 +91,37 @@ def _stream_kernel(q_ref, s_ref, out_ref, mip, iip, mpp, ipp, hp, cp, *, ma, mi,
     strip_rows = []
 
     for r in range(chunk):
-        # advance the systolic pipe: new char enters row 0
-        newc = sc[r : r + 1, :]
-        C = jnp.where(row0, newc, pltpu.roll(C, 1, axis=0))
+        # advance the systolic pipe: each segment's new char enters its head row
+        C = pltpu.roll(C, 1, axis=0)
+        for g in range(seg):
+            newc = sc[r : r + 1, g * S : (g + 1) * S]
+            C = jnp.where(row_iota == g * qcap, newc, C)
         f0 = C >= FLAG_BIT
         cval = C & 7
         s = jnp.where(cval == q, ma, mi).astype(dt)
-        # diagonal: neighbours' state two steps back; zero at row 0 (chain
-        # head ties, SW_ProcessingElement_v1.0.v:156-164) and at target
-        # starts (column -1)
+        # diagonal: neighbours' state two steps back; zero at segment heads
+        # (chain-head ties, SW_ProcessingElement_v1.0.v:156-164) and at
+        # target starts (column -1)
         diag = jnp.maximum(pltpu.roll(Mpp, 1, axis=0), pltpu.roll(Ipp, 1, axis=0))
-        diag = jnp.where(jnp.logical_or(row0, f0), zero, diag)
+        diag = jnp.where(jnp.logical_or(seghead, f0), zero, diag)
         Mc = jnp.maximum(diag + s, 0)
         # merged in-del: up = neighbour one step back, left = own one step back
-        M_up = jnp.where(row0, zero, pltpu.roll(Mp, 1, axis=0))
+        M_up = jnp.where(seghead, zero, pltpu.roll(Mp, 1, axis=0))
         M_left = jnp.where(f0, zero, Mp)
-        I_up = jnp.where(row0, zero, pltpu.roll(Ip, 1, axis=0))
+        I_up = jnp.where(seghead, zero, pltpu.roll(Ip, 1, axis=0))
         I_left = jnp.where(f0, zero, Ip)
         Ic = jnp.maximum(
             jnp.maximum(M_up, M_left) + oe, jnp.maximum(I_up, I_left) + gext
         )
         # high score ripples with the data; own register resets at target start
-        H_in = jnp.where(row0, zero, pltpu.roll(Hp, 1, axis=0))
+        H_in = jnp.where(seghead, zero, pltpu.roll(Hp, 1, axis=0))
         H_own = jnp.where(f0, zero, Hp)
         Hc = jnp.maximum(jnp.maximum(H_in, H_own), Mc)
-        # capture row 127 for the emission strip
-        strip_rows.append(Hc[LANES - 1 : LANES, :])
+        # capture each segment's tail row for the emission strip
+        tails = [
+            Hc[(g + 1) * qcap - 1 : (g + 1) * qcap, :] for g in range(seg)
+        ]
+        strip_rows.append(tails[0] if seg == 1 else jnp.concatenate(tails, axis=1))
         Mpp, Ipp = Mp, Ip
         Mp, Ip, Hp = Mc, Ic, Hc
 
@@ -121,23 +134,26 @@ def _stream_kernel(q_ref, s_ref, out_ref, mip, iip, mpp, ipp, hp, cp, *, ma, mi,
     cp[...] = C
 
 
-def _strip_call(qT, streamT, ma, mi, go, ge, interpret):
-    """qT: [128, S] int8, streamT: [T, S] int8 -> strip [T, S] int32."""
+def _strip_call(qT, streamT, ma, mi, go, ge, interpret, seg=1):
+    """qT: [128, S_phys] int8, streamT: [T, seg*S_phys] int8
+    -> strip [T, seg*S_phys] int32."""
     S = qT.shape[1]
     T = streamT.shape[0]
     nc = T // STEP_CHUNK
-    kernel = functools.partial(_stream_kernel, ma=ma, mi=mi, go=go, ge=ge)
+    kernel = functools.partial(_stream_kernel, ma=ma, mi=mi, go=go, ge=ge, seg=seg)
     out = pl.pallas_call(
         kernel,
         grid=(nc,),
         in_specs=[
             pl.BlockSpec((LANES, S), lambda c: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((STEP_CHUNK, S), lambda c: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (STEP_CHUNK, seg * S), lambda c: (c, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=pl.BlockSpec(
-            (STEP_CHUNK, S), lambda c: (c, 0), memory_space=pltpu.VMEM
+            (STEP_CHUNK, seg * S), lambda c: (c, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((T, S), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((T, seg * S), jnp.int32),
         scratch_shapes=[pltpu.VMEM((LANES, S), jnp.int32) for _ in range(6)],
         cost_estimate=pl.CostEstimate(
             flops=30 * S * LANES * T, bytes_accessed=(S * T) * 5, transcendentals=0
@@ -152,39 +168,66 @@ def _strip_call(qT, streamT, ma, mi, go, ge, interpret):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("penalties", "interpret"))
+def _to_kernel_layout(q, stream, segments):
+    """Logical [N, qcap] queries / [N, T] streams -> kernel layout
+    ([128, S_phys] and [T, N]) with logical stream n = g*S_phys + s mapping
+    to segment g of physical column s."""
+    N, qcap = q.shape
+    S_phys = N // segments
+    qk = q.reshape(segments, S_phys, qcap).transpose(0, 2, 1).reshape(LANES, S_phys)
+    return qk, stream.T
+
+
+def _validate(q, stream, segments, interpret):
+    N, qcap = q.shape
+    T = stream.shape[1]
+    if LANES % segments:
+        raise ValueError(f"segments {segments} must divide {LANES}")
+    if qcap != LANES // segments:
+        raise ValueError(
+            f"q width {qcap} != {LANES}//segments ({LANES // segments})"
+        )
+    if N % segments:
+        raise ValueError(f"n_streams {N} must divide by segments {segments}")
+    if T % STEP_CHUNK:
+        raise ValueError(f"stream length {T} not a multiple of {STEP_CHUNK}")
+    if (N // segments) % 128 and not interpret:
+        raise ValueError(
+            f"physical streams {N//segments} must be a multiple of 128 (lane dim)"
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("penalties", "interpret", "segments"))
 def sw_scores_stream_strip(
     q: jnp.ndarray,
     stream: jnp.ndarray,
     penalties: Penalties = DEFAULT_PENALTIES,
     interpret: bool = False,
+    segments: int = 1,
 ) -> jnp.ndarray:
     """Run the wavefront over packed streams; returns the raw H strip.
 
     Args:
-      q: [S, 128] int8 per-stream query codes (sentinel-padded).
-      stream: [S, T] int8 concatenated target chars (codes 0..3, +8 flag on
+      q: [N, 128//segments] int8 per-stream query codes (sentinel-padded).
+      stream: [N, T] int8 concatenated target chars (codes 0..3, +8 flag on
         each target's first char, 4 = drain/pad), T % STEP_CHUNK == 0.
       penalties: static scoring penalties.
+      segments: queries packed per lane column (1, 2, or 4); raises
+        utilization to 100% for queries of <=128/segments bases.
 
-    Returns: [S, T] int32 — H at row 127 after each step; index
-    [s, off+len-1+127] holds the score of the target at offset `off`.
-    Use swtpu.bank.streams to build inputs and gather scores.
+    Returns: [N, T] int32 — each logical stream's segment-tail H after each
+    step; index [n, off+len-1+(128//segments-1)] holds the score of the
+    target at offset `off`.  Use swtpu.bank.streams to build inputs and
+    gather scores.
     """
     ma, mi, go, ge = penalties.astuple()
-    S, m = q.shape
-    T = stream.shape[1]
-    if m != LANES:
-        raise ValueError(f"stream kernel requires q width {LANES}, got {m}")
-    if T % STEP_CHUNK:
-        raise ValueError(f"stream length {T} not a multiple of {STEP_CHUNK}")
-    if S % 128 and not interpret:
-        raise ValueError(f"n_streams {S} must be a multiple of 128 (lane dim)")
-    out = _strip_call(q.T, stream.T, ma, mi, go, ge, interpret)
+    _validate(q, stream, segments, interpret)
+    qk, sk = _to_kernel_layout(q, stream, segments)
+    out = _strip_call(qk, sk, ma, mi, go, ge, interpret, seg=segments)
     return out.T
 
 
-@functools.partial(jax.jit, static_argnames=("penalties", "interpret"))
+@functools.partial(jax.jit, static_argnames=("penalties", "interpret", "segments"))
 def sw_scores_stream(
     q: jnp.ndarray,
     stream: jnp.ndarray,
@@ -192,6 +235,7 @@ def sw_scores_stream(
     emit_step: jnp.ndarray,
     penalties: Penalties = DEFAULT_PENALTIES,
     interpret: bool = False,
+    segments: int = 1,
 ) -> jnp.ndarray:
     """Wavefront scoring with on-device emission gather: only the per-read
     scores leave the chip (the strip stays in HBM) — the analog of the
@@ -199,15 +243,9 @@ def sw_scores_stream(
 
     emit_step < 0 marks a zero-length read (score 0)."""
     ma, mi, go, ge = penalties.astuple()
-    S, m = q.shape
-    T = stream.shape[1]
-    if m != LANES:
-        raise ValueError(f"stream kernel requires q width {LANES}, got {m}")
-    if T % STEP_CHUNK:
-        raise ValueError(f"stream length {T} not a multiple of {STEP_CHUNK}")
-    if S % 128 and not interpret:
-        raise ValueError(f"n_streams {S} must be a multiple of 128 (lane dim)")
-    strip = _strip_call(q.T, stream.T, ma, mi, go, ge, interpret)  # [T, S]
+    _validate(q, stream, segments, interpret)
+    qk, sk = _to_kernel_layout(q, stream, segments)
+    strip = _strip_call(qk, sk, ma, mi, go, ge, interpret, seg=segments)  # [T, N]
     live = emit_step >= 0
     safe_step = jnp.where(live, emit_step, 0)
     scores = strip[safe_step, emit_stream]

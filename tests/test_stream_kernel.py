@@ -23,8 +23,10 @@ def test_pack_streams_structure():
     rng = np.random.default_rng(0)
     targets = _targets(rng, 10)
     query = rng.integers(0, 4, size=16).astype(np.int8)
+    from swtpu.ops.pallas_stream import STEP_CHUNK
+
     b = pack_streams(query, targets, n_streams=4)
-    assert b.stream.shape[1] % 128 == 0
+    assert b.stream.shape[1] % STEP_CHUNK == 0
     # every target's first char is flagged exactly once per target
     n_flags = int((b.stream >= 8).sum())
     assert n_flags == len(targets)
@@ -67,3 +69,17 @@ def test_scorebank_stream_backend():
     res = bank.score_database(query, targets)
     np.testing.assert_array_equal(res.scores, want)
     assert res.cells == sum(31 * len(t) for t in targets)
+
+
+@pytest.mark.parametrize("segments", [2, 4])
+def test_segmented_stream_matches_oracle(segments):
+    rng = np.random.default_rng(segments)
+    targets = _targets(rng, 14, lo=2, hi=50)
+    qcap = 128 // segments
+    query = rng.integers(0, 4, size=qcap - 3).astype(np.int8)
+    want = score_many_vs_one(query, targets)
+    got = score_streams(
+        query, targets, n_streams=4 * segments, interpret=INTERPRET,
+        segments=segments,
+    )
+    np.testing.assert_array_equal(got, want)
