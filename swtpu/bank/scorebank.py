@@ -81,6 +81,16 @@ class ScoreBank:
             from swtpu.ops.scan import sw_scores_scan
 
             return np.asarray(sw_scores_scan(q, t, pen))
+        if self.backend == "stream":
+            # long-query fallback path: the column kernel (interpret mode
+            # compiles slowly, so CPU testing uses scan instead)
+            if self._interpret:
+                from swtpu.ops.scan import sw_scores_scan
+
+                return np.asarray(sw_scores_scan(q, t, pen))
+            from swtpu.ops.pallas_kernel import sw_scores_pallas
+
+            return np.asarray(sw_scores_pallas(q, t, pen))
         if self.backend == "pallas":
             from swtpu.ops.pallas_kernel import sw_scores_pallas
 
@@ -99,7 +109,12 @@ class ScoreBank:
         record per dispatched batch (the trace-array/debug.log analog)."""
         cfg = self.config
         if self.backend == "stream":
-            return self._score_database_stream(query, targets, event_log)
+            from swtpu.bank.streams import LANES as STREAM_QCAP
+
+            if len(query) <= STREAM_QCAP:
+                return self._score_database_stream(query, targets, event_log)
+            # stream pipe holds <=128 query rows; longer queries take the
+            # column kernel (its sublane query dim extends freely)
         t0 = time.perf_counter()
         batches = pack_many_vs_one(
             query,

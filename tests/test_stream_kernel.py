@@ -83,3 +83,16 @@ def test_segmented_stream_matches_oracle(segments):
         segments=segments,
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_stream_backend_long_query_fallback():
+    # queries beyond the 128-row pipe route to the column path transparently
+    rng = np.random.default_rng(77)
+    targets = _targets(rng, 8, lo=5, hi=60)
+    query = rng.integers(0, 4, size=200).astype(np.int8)
+    want = score_many_vs_one(query, targets)
+    from swtpu.bank import ScoreBank
+
+    bank = ScoreBank(SWConfig(target_buckets=(32, 128)), backend="stream", interpret=INTERPRET)
+    res = bank.score_database(query, targets)
+    np.testing.assert_array_equal(res.scores, want)
