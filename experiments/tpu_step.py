@@ -1,6 +1,6 @@
 """One-compile-per-run TPU steps (tunnel-friendly).  Usage:
 python -u experiments/tpu_step.py <step>
-Steps: probe | parity | bench_s256 | bench_s1024 | bench_f32 | bench_col
+Steps: probe | parity | bench_s256 | bench_s1024 | bench_f32 | bench_col | bench_i16
 """
 
 import sys
@@ -117,6 +117,8 @@ if __name__ == "__main__":
         _col_bench("float32")
     elif step == "bench_col":
         _col_bench("int32")
+    elif step == "bench_i16":
+        _col_bench("int16")
     else:
         raise SystemExit(f"unknown step {step}")
     log("STEP DONE")

@@ -54,9 +54,14 @@ T_CHUNK = 32
 def _sw_kernel(q_ref, t_ref, out_ref, *, ma, mi, go, ge, unroll, chunk, dt=jnp.int32):
     m, bt = q_ref.shape
     n = t_ref.shape[0]
-    # f32 state is exact for integer scores below 2^24 and can be faster on
-    # the VPU; int32 is the default.
-    neg = jnp.array(-(2**23) if dt == jnp.float32 else -(2**30), dt)
+    # f32 state is exact for integer scores below 2^24; int16 holds scores
+    # to 8191 with headroom for the prefix-scan bias terms; int32 default.
+    if dt == jnp.float32:
+        neg = jnp.array(-(2**23), dt)
+    elif dt == jnp.int16:
+        neg = jnp.array(-(2**13), dt)
+    else:
+        neg = jnp.array(-(2**30), dt)
     zero = jnp.array(0, dt)
     row_iota = jax.lax.broadcasted_iota(dt, (m, 1), 0)
     # compare in int32 so the predicate has int32 layout (int8 i1 vectors
