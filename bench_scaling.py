@@ -1,4 +1,8 @@
-"""reads/s scaling benchmark across mesh sizes.
+"""reads/s scaling benchmark across mesh sizes (and optionally processes).
+
+--multihost additionally measures reads/s at 1/2/4 localhost *processes*
+(jax.distributed CPU harness — the PSLSE-style fake cluster), reporting
+scaling efficiency across the process axis too.
 
 The reference's scaling axis is MODULES (1 -> 8 scoring arrays,
 ScoreBank/ScoreBank_v2.v:17); swtpu's is devices in the mesh.  Real
@@ -86,5 +90,39 @@ def main():
         )
 
 
+def main_multihost():
+    import numpy as np
+
+    from swtpu.testing.regress import run_multihost
+
+    rng = np.random.default_rng(0)
+    m = n = 64
+    per_proc = 64
+    results = {}
+    for nprocs in (1, 2, 4):
+        B = per_proc * nprocs
+        q = rng.integers(0, 4, size=(B, m)).astype(np.int8)
+        t = rng.integers(0, 4, size=(B, n)).astype(np.int8)
+        ids = np.arange(B, dtype=np.int32)
+        t0 = time.time()
+        res = run_multihost(q, t, ids, nprocs=nprocs, topk=4)
+        dt = time.time() - t0
+        rps = B / dt
+        results[nprocs] = rps
+        print(json.dumps({
+            "metric": f"reads/s @ {nprocs} process(es) (localhost harness)",
+            "value": round(rps, 1), "unit": "reads/s", "vs_baseline": None,
+        }))
+    base = results[1]
+    eff = results[4] / (4 * base)
+    print(json.dumps({
+        "metric": "process-scaling efficiency 1->4 (incl. startup)",
+        "value": round(eff, 3), "unit": "ratio", "vs_baseline": round(eff / 0.8, 3),
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    if "--multihost" in sys.argv:
+        main_multihost()
+    else:
+        main()

@@ -70,7 +70,7 @@ def main(argv=None) -> int:
         [np.asarray(s.data) for s in scores.addressable_shards]
     )
     local_rows = np.concatenate(
-        [np.arange(s.index[0].start, s.index[0].stop) for s in scores.addressable_shards]
+        [np.arange(*s.index[0].indices(B)[:2]) for s in scores.addressable_shards]
     )
     np.savez(
         args.output,
