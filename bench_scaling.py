@@ -34,7 +34,6 @@ def main():
         #   XLA_FLAGS=--xla_force_host_platform_device_count=8
         print("# warning: single device; scaling table will be trivial", file=sys.stderr)
 
-    from swtpu.ops.common import Q_PAD, T_PAD
     from swtpu.parallel import make_mesh, make_sharded_scorer
 
     rng = np.random.default_rng(0)

@@ -13,7 +13,7 @@ padded up with sentinels.  GCUPS accounting distinguishes real cells
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

@@ -15,8 +15,7 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from swtpu.bank.buckets import BucketPlan, plan_buckets
-from swtpu.io.encode import encode_seq
+from swtpu.bank.buckets import plan_buckets
 from swtpu.ops.common import Q_PAD, T_PAD
 
 

@@ -23,7 +23,7 @@ from typing import List, Optional, Sequence
 import numpy as np
 
 from swtpu.bank.packer import pack_many_vs_one
-from swtpu.config import DEFAULT_PENALTIES, Penalties, SWConfig
+from swtpu.config import SWConfig
 
 
 @dataclasses.dataclass

@@ -13,7 +13,7 @@ with a first-char flag, and every read's score-emission coordinate
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 import numpy as np
 

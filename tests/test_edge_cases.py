@@ -5,7 +5,6 @@ These are the cases where affine-gap implementations classically diverge
 records exactly such divergence against swalign)."""
 
 import numpy as np
-import pytest
 
 from swtpu.config import Penalties
 from swtpu.ops import sentinel_pad_batch, sw_scores_scan

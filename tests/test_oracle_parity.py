@@ -5,9 +5,6 @@ reproduce, bit-exactly, the triple-agreeing golden chain
 RTL == swalign == ssearch36 on every bundled dataset.
 """
 
-from pathlib import Path
-
-import numpy as np
 import pytest
 
 from swtpu.io import encode_seq, read_query_and_db, read_fasta

@@ -4,11 +4,7 @@ import jax
 import numpy as np
 import pytest
 
-from swtpu.bank.streams import (
-    gather_stream_scores,
-    pack_streams,
-    score_streams,
-)
+from swtpu.bank.streams import pack_streams, score_streams
 from swtpu.config import Penalties, SWConfig
 from swtpu.oracle import score_many_vs_one
 
