@@ -55,7 +55,8 @@ STEP_CHUNK = 32
 
 
 def _stream_kernel(
-    q_ref, s_ref, out_ref, mip, iip, mpp, ipp, hp, cp, *, ma, mi, go, ge, seg
+    q_ref, s_ref, out_ref, mip, iip, mpp, ipp, hp, cp, *, ma, mi, go, ge, seg,
+    dt=None,
 ):
     """seg: query segments per lane column.  seg=1 uses all 128 rows for one
     query; seg=G packs G independent queries of <=128/G bases per column
@@ -65,10 +66,11 @@ def _stream_kernel(
     S = q_ref.shape[1]
     chunk = s_ref.shape[0]  # stream block is [chunk, seg*S]
     qcap = LANES // seg
-    dt = jnp.int32
+    dt = dt or jnp.int32
     zero = jnp.array(0, dt)
     c = pl.program_id(0)
-    row_iota = jax.lax.broadcasted_iota(dt, (LANES, 1), 0)
+    # masks always build in int32 (modulo/compare support), whatever dt is
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, 1), 0)
     seghead = row_iota % qcap == 0
 
     @pl.when(c == 0)
@@ -119,7 +121,8 @@ def _stream_kernel(
         Hc = jnp.maximum(jnp.maximum(H_in, H_own), Mc)
         # capture each segment's tail row for the emission strip
         tails = [
-            Hc[(g + 1) * qcap - 1 : (g + 1) * qcap, :] for g in range(seg)
+            Hc[(g + 1) * qcap - 1 : (g + 1) * qcap, :].astype(jnp.int32)
+            for g in range(seg)
         ]
         strip_rows.append(tails[0] if seg == 1 else jnp.concatenate(tails, axis=1))
         Mpp, Ipp = Mp, Ip
@@ -134,13 +137,16 @@ def _stream_kernel(
     cp[...] = C
 
 
-def _strip_call(qT, streamT, ma, mi, go, ge, interpret, seg=1):
+def _strip_call(qT, streamT, ma, mi, go, ge, interpret, seg=1, state_dtype="int32"):
     """qT: [128, S_phys] int8, streamT: [T, seg*S_phys] int8
     -> strip [T, seg*S_phys] int32."""
     S = qT.shape[1]
     T = streamT.shape[0]
     nc = T // STEP_CHUNK
-    kernel = functools.partial(_stream_kernel, ma=ma, mi=mi, go=go, ge=ge, seg=seg)
+    dt = jnp.dtype(state_dtype).type if state_dtype != "int32" else jnp.int32
+    kernel = functools.partial(
+        _stream_kernel, ma=ma, mi=mi, go=go, ge=ge, seg=seg, dt=dt
+    )
     out = pl.pallas_call(
         kernel,
         grid=(nc,),
@@ -154,7 +160,7 @@ def _strip_call(qT, streamT, ma, mi, go, ge, interpret, seg=1):
             (STEP_CHUNK, seg * S), lambda c: (c, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((T, seg * S), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((LANES, S), jnp.int32) for _ in range(6)],
+        scratch_shapes=[pltpu.VMEM((LANES, S), dt) for _ in range(6)],
         cost_estimate=pl.CostEstimate(
             flops=30 * S * LANES * T, bytes_accessed=(S * T) * 5, transcendentals=0
         ),
@@ -197,13 +203,16 @@ def _validate(q, stream, segments, interpret):
         )
 
 
-@functools.partial(jax.jit, static_argnames=("penalties", "interpret", "segments"))
+@functools.partial(
+    jax.jit, static_argnames=("penalties", "interpret", "segments", "state_dtype")
+)
 def sw_scores_stream_strip(
     q: jnp.ndarray,
     stream: jnp.ndarray,
     penalties: Penalties = DEFAULT_PENALTIES,
     interpret: bool = False,
     segments: int = 1,
+    state_dtype: str = "int32",
 ) -> jnp.ndarray:
     """Run the wavefront over packed streams; returns the raw H strip.
 
@@ -223,11 +232,15 @@ def sw_scores_stream_strip(
     ma, mi, go, ge = penalties.astuple()
     _validate(q, stream, segments, interpret)
     qk, sk = _to_kernel_layout(q, stream, segments)
-    out = _strip_call(qk, sk, ma, mi, go, ge, interpret, seg=segments)
+    out = _strip_call(
+        qk, sk, ma, mi, go, ge, interpret, seg=segments, state_dtype=state_dtype
+    )
     return out.T
 
 
-@functools.partial(jax.jit, static_argnames=("penalties", "interpret", "segments"))
+@functools.partial(
+    jax.jit, static_argnames=("penalties", "interpret", "segments", "state_dtype")
+)
 def sw_scores_stream(
     q: jnp.ndarray,
     stream: jnp.ndarray,
@@ -236,6 +249,7 @@ def sw_scores_stream(
     penalties: Penalties = DEFAULT_PENALTIES,
     interpret: bool = False,
     segments: int = 1,
+    state_dtype: str = "int32",
 ) -> jnp.ndarray:
     """Wavefront scoring with on-device emission gather: only the per-read
     scores leave the chip (the strip stays in HBM) — the analog of the
@@ -245,7 +259,9 @@ def sw_scores_stream(
     ma, mi, go, ge = penalties.astuple()
     _validate(q, stream, segments, interpret)
     qk, sk = _to_kernel_layout(q, stream, segments)
-    strip = _strip_call(qk, sk, ma, mi, go, ge, interpret, seg=segments)  # [T, N]
+    strip = _strip_call(
+        qk, sk, ma, mi, go, ge, interpret, seg=segments, state_dtype=state_dtype
+    )  # [T, N]
     live = emit_step >= 0
     safe_step = jnp.where(live, emit_step, 0)
     scores = strip[safe_step, emit_stream]
