@@ -21,7 +21,7 @@ Layer map (TPU-native re-design of the reference's layers, SURVEY.md §1):
 """
 
 from swtpu.config import SWConfig, Penalties, DEFAULT_PENALTIES
-from swtpu.oracle import sw_score_single, sw_score_batch
+from swtpu.oracle import sw_score_single, sw_score_batch, score_many_vs_one
 
 __version__ = "0.1.0"
 
@@ -31,4 +31,16 @@ __all__ = [
     "DEFAULT_PENALTIES",
     "sw_score_single",
     "sw_score_batch",
+    "score_many_vs_one",
+    "ScoreBank",
+    "ScoreResult",
 ]
+
+
+def __getattr__(name):
+    # heavier layers load lazily (they import jax)
+    if name in ("ScoreBank", "ScoreResult"):
+        from swtpu.bank import ScoreBank, ScoreResult
+
+        return {"ScoreBank": ScoreBank, "ScoreResult": ScoreResult}[name]
+    raise AttributeError(name)
