@@ -119,6 +119,107 @@ if __name__ == "__main__":
         _col_bench("int32")
     elif step == "bench_i16":
         _col_bench("int16")
+    elif step == "chain_stream":
+        _chain_stream()
+    elif step == "chain_col":
+        _chain_col("int32")
+    elif step == "chain_col_i16":
+        _chain_col("int16")
+    elif step == "chain_col_f32":
+        _chain_col("float32")
     else:
         raise SystemExit(f"unknown step {step}")
     log("STEP DONE")
+
+
+def _chain_stream(S=256, ks=(1, 11)):
+    """Robust timing: k *data-dependent* kernel calls inside one jit, so
+    per-kernel device time = (T[k2]-T[k1])/(k2-k1) with every fixed cost
+    (dispatch, transfers, tunnel jitter) cancelled."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from swtpu.bank.streams import pack_streams
+    from swtpu.ops.pallas_stream import _strip_call, _to_kernel_layout, sw_scores_stream
+
+    from swtpu.config import DEFAULT_PENALTIES as pen
+
+    rng = np.random.default_rng(0)
+    m = n = 128
+    B = 65536
+    qh = rng.integers(0, 4, (B, m)).astype(np.int8)
+    th = rng.integers(0, 4, (B, n)).astype(np.int8)
+    targets = list(th)
+    big = pack_streams(qh[0], targets, n_streams=S)
+    qk, sk = _to_kernel_layout(big.q, big.stream, 1)
+    dq, ds_ = jax.device_put(qk), jax.device_put(sk)
+    ma, mi, go, ge = pen.astuple()
+    cells = B * m * n
+
+    @functools.partial(jax.jit, static_argnames="k")
+    def chain(qk, sk, k):
+        acc = jnp.zeros((), jnp.int32)
+        s_in = sk
+        for _ in range(k):
+            strip = _strip_call(qk, s_in, ma, mi, go, ge, False)
+            v = strip[-1, 0]  # data-dependent scalar
+            acc = acc + v
+            # force next call to depend on this result without changing data
+            s_in = jnp.where(v < -(2**30), s_in + jnp.int8(1), s_in)
+        return acc
+
+    times = {}
+    for k in ks:
+        _ = np.asarray(chain(dq, ds_, k))  # compile+warm
+        best = 1e9
+        for _ in range(3):
+            t0 = time.time()
+            _ = np.asarray(chain(dq, ds_, k))
+            best = min(best, time.time() - t0)
+        times[k] = best
+        log(f"chain k={k}: {best*1e3:.1f} ms")
+    k1, k2 = ks
+    per = (times[k2] - times[k1]) / (k2 - k1)
+    log(f"stream S={S} chained: {per*1e3:.2f} ms/kernel -> {cells/per/1e9:.1f} GCUPS")
+
+
+def _chain_col(state_dtype="int32", ks=(1, 11)):
+    import functools
+
+    import jax.numpy as jnp
+
+    from swtpu.ops.pallas_kernel import sw_scores_pallas
+
+    rng = np.random.default_rng(0)
+    m = n = 128
+    B = 65536
+    q = jax.device_put(rng.integers(0, 4, (B, m)).astype(np.int8))
+    t = jax.device_put(rng.integers(0, 4, (B, n)).astype(np.int8))
+    cells = B * m * n
+
+    @functools.partial(jax.jit, static_argnames="k")
+    def chain(q, t, k):
+        acc = jnp.zeros((), jnp.int32)
+        q_in = q
+        for _ in range(k):
+            s = sw_scores_pallas(q_in, t, block_pairs=1024, unroll=1,
+                                 state_dtype=state_dtype)
+            v = s[0]
+            acc = acc + v
+            q_in = jnp.where(v < -(2**30), q_in + jnp.int8(1), q_in)
+        return acc
+
+    times = {}
+    for k in ks:
+        _ = np.asarray(chain(q, t, k))
+        best = 1e9
+        for _ in range(3):
+            t0 = time.time()
+            _ = np.asarray(chain(q, t, k))
+            best = min(best, time.time() - t0)
+        times[k] = best
+        log(f"chain k={k}: {best*1e3:.1f} ms")
+    k1, k2 = ks
+    per = (times[k2] - times[k1]) / (k2 - k1)
+    log(f"column {state_dtype} chained: {per*1e3:.2f} ms/kernel -> {cells/per/1e9:.1f} GCUPS")
