@@ -4,12 +4,20 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline = 256 GCUPS, the reference's whole 8-module FPGA ScoreBank
 (BASELINE.md: 8 modules x 128 PEs x 250 MHz, derived).
 
+Kernel under test: the streamed anti-diagonal wavefront
+(swtpu/ops/pallas_stream.py) fed by the round-robin stream packer — the
+TPU-native form of the reference's ScoringModule+feeder pipeline
+(ScoreBank/ScoringModule_v1.1.v, SM_Feeder2.v).
+
 Timing methodology: the TPU here sits behind a network tunnel where
 dispatch+D2H costs tens of ms and `block_until_ready` can return
-optimistically, so per-call wall times lie in both directions.  We time
-fully-synchronized (device->host materialized) runs over increasing batch
-sizes and fit a line: the slope is cells/second with fixed overheads
-removed.
+optimistically, so per-call wall times lie in both directions.  We:
+  - reduce results on device (max + checksum scalars), so D2H is O(1);
+  - fully materialize (np.asarray) as the only reliable sync;
+  - time a big and a small batch and take the difference, so every fixed
+    cost (dispatch, sync, tunnel RTT) cancels;
+  - spot-check 64 scores against the numpy oracle so the headline can never
+    come from a silently-wrong kernel.
 """
 
 import json
@@ -21,6 +29,8 @@ from pathlib import Path
 import numpy as np
 
 BASELINE_GCUPS = 256.0
+S_STREAMS = 512
+STATE_DTYPE = os.environ.get("SWTPU_BENCH_STATE_DTYPE", "int32")
 
 
 def _enable_compile_cache():
@@ -35,37 +45,76 @@ def _enable_compile_cache():
         pass
 
 
-def measure_gcups(m=128, n=128, block_pairs=1024, sizes=(32768, 262144), reps=4):
+def _prep(B, m, n, rng):
+    """Pack B random n-nt reads against one m-nt query for the wavefront."""
     import jax
+
+    from swtpu.bank.streams import pack_streams
+
+    q = rng.integers(0, 4, size=m).astype(np.int8)
+    t = rng.integers(0, 4, size=(B, n)).astype(np.int8)
+    b = pack_streams(q, t, n_streams=S_STREAMS)
+    dev = (
+        jax.device_put(b.q),
+        jax.device_put(b.stream),
+        jax.device_put(b.emit_stream),
+        jax.device_put(b.emit_step.astype(np.int32)),
+    )
+    return q, t, dev, b.cells
+
+
+def measure_gcups(m=128, n=128, sizes=(32768, 262144), reps=6):
+    import jax
+    import jax.numpy as jnp
 
     _enable_compile_cache()
 
-    from swtpu.ops.pallas_kernel import sw_scores_pallas
-    from swtpu.ops.scan import sw_scores_scan
-
     on_tpu = jax.default_backend() == "tpu"
     rng = np.random.default_rng(0)
-    pts = []
-    for B in sizes:
-        q = jax.device_put(rng.integers(0, 4, size=(B, m)).astype(np.int8))
-        t = jax.device_put(rng.integers(0, 4, size=(B, n)).astype(np.int8))
-        if on_tpu:
-            run = lambda: np.asarray(sw_scores_pallas(q, t, block_pairs=block_pairs, unroll=1))
-        else:
+
+    if not on_tpu:
+        from swtpu.ops.scan import sw_scores_scan
+
+        pts = []
+        for B in (1024, 4096):
+            q = jax.device_put(rng.integers(0, 4, size=(B, m)).astype(np.int8))
+            t = jax.device_put(rng.integers(0, 4, size=(B, n)).astype(np.int8))
             run = lambda: np.asarray(sw_scores_scan(q, t))
-        run()  # compile + warm
+            run()
+            best = min(
+                (lambda t0: (run(), time.time() - t0)[1])(time.time())
+                for _ in range(reps)
+            )
+            pts.append((B * m * n, best))
+        return (pts[1][0] - pts[0][0]) / (pts[1][1] - pts[0][1]) / 1e9
+
+    from swtpu.ops.pallas_stream import sw_scores_stream
+    from swtpu.oracle import score_many_vs_one
+
+    @jax.jit
+    def scored(q, stream, es, ep):
+        s = sw_scores_stream(q, stream, es, ep, state_dtype=STATE_DTYPE)
+        # O(1) D2H: best hit + checksum + a 64-score parity window
+        return jnp.max(s), jnp.sum(s), s[:64]
+
+    times = {}
+    for B in sizes:
+        qh, th, dev, cells = _prep(B, m, n, rng)
+        run = lambda: [np.asarray(x) for x in scored(*dev)]
+        out = run()  # compile + warm
+        want = score_many_vs_one(qh, th[:64])
+        if not np.array_equal(out[2], want):
+            raise RuntimeError(
+                f"parity check failed at B={B}: got {out[2][:8]} want {want[:8]}"
+            )
         best = min(
-            (lambda: (lambda t0: (run(), time.time() - t0)[1])(time.time()))()
+            (lambda t0: (run(), time.time() - t0)[1])(time.time())
             for _ in range(reps)
         )
-        pts.append((float(B) * m * n, best))
-        print(f"# B={B}: {best*1e3:.1f} ms", file=sys.stderr)
-    cells = np.array([p[0] for p in pts])
-    ts = np.array([p[1] for p in pts])
-    slope, intercept = np.polyfit(cells, ts, 1)
-    gcups = 1.0 / slope / 1e9
-    print(f"# fixed overhead {intercept*1e3:.1f} ms", file=sys.stderr)
-    return gcups
+        times[B] = (cells, best)
+        print(f"# B={B}: {best*1e3:.1f} ms (cells={cells:.3g})", file=sys.stderr)
+    (c1, t1), (c2, t2) = times[sizes[0]], times[sizes[1]]
+    return (c2 - c1) / (t2 - t1) / 1e9
 
 
 def main():

@@ -103,36 +103,7 @@ def _col_bench(state_dtype):
     log(f"column {state_dtype}: -> {g:.1f} GCUPS")
 
 
-if __name__ == "__main__":
-    step = sys.argv[1]
-    if step == "probe":
-        probe()
-    elif step == "parity":
-        parity()
-    elif step == "bench_s256":
-        _stream_bench(256)
-    elif step == "bench_s1024":
-        _stream_bench(1024)
-    elif step == "bench_f32":
-        _col_bench("float32")
-    elif step == "bench_col":
-        _col_bench("int32")
-    elif step == "bench_i16":
-        _col_bench("int16")
-    elif step == "chain_stream":
-        _chain_stream()
-    elif step == "chain_col":
-        _chain_col("int32")
-    elif step == "chain_col_i16":
-        _chain_col("int16")
-    elif step == "chain_col_f32":
-        _chain_col("float32")
-    else:
-        raise SystemExit(f"unknown step {step}")
-    log("STEP DONE")
-
-
-def _chain_stream(S=256, ks=(1, 11)):
+def _chain_stream(S=256, ks=(1, 11), state_dtype="int32"):
     """Robust timing: k *data-dependent* kernel calls inside one jit, so
     per-kernel device time = (T[k2]-T[k1])/(k2-k1) with every fixed cost
     (dispatch, transfers, tunnel jitter) cancelled."""
@@ -162,7 +133,8 @@ def _chain_stream(S=256, ks=(1, 11)):
         acc = jnp.zeros((), jnp.int32)
         s_in = sk
         for _ in range(k):
-            strip = _strip_call(qk, s_in, ma, mi, go, ge, False)
+            strip = _strip_call(qk, s_in, ma, mi, go, ge, False,
+                                state_dtype=state_dtype)
             v = strip[-1, 0]  # data-dependent scalar
             acc = acc + v
             # force next call to depend on this result without changing data
@@ -181,7 +153,8 @@ def _chain_stream(S=256, ks=(1, 11)):
         log(f"chain k={k}: {best*1e3:.1f} ms")
     k1, k2 = ks
     per = (times[k2] - times[k1]) / (k2 - k1)
-    log(f"stream S={S} chained: {per*1e3:.2f} ms/kernel -> {cells/per/1e9:.1f} GCUPS")
+    log(f"stream S={S} {state_dtype} chained: {per*1e3:.2f} ms/kernel"
+        f" -> {cells/per/1e9:.1f} GCUPS")
 
 
 def _chain_col(state_dtype="int32", ks=(1, 11)):
@@ -223,3 +196,28 @@ def _chain_col(state_dtype="int32", ks=(1, 11)):
     k1, k2 = ks
     per = (times[k2] - times[k1]) / (k2 - k1)
     log(f"column {state_dtype} chained: {per*1e3:.2f} ms/kernel -> {cells/per/1e9:.1f} GCUPS")
+
+
+STEPS = {
+    "probe": probe,
+    "parity": parity,
+    "bench_s256": lambda: _stream_bench(256),
+    "bench_s1024": lambda: _stream_bench(1024),
+    "bench_f32": lambda: _col_bench("float32"),
+    "bench_col": lambda: _col_bench("int32"),
+    "bench_i16": lambda: _col_bench("int16"),
+    "chain_stream": lambda: _chain_stream(256),
+    "chain_stream_f32": lambda: _chain_stream(256, state_dtype="float32"),
+    "chain_stream_s512": lambda: _chain_stream(512),
+    "chain_stream_s512_f32": lambda: _chain_stream(512, state_dtype="float32"),
+    "chain_col": lambda: _chain_col("int32"),
+    "chain_col_i16": lambda: _chain_col("int16"),
+    "chain_col_f32": lambda: _chain_col("float32"),
+}
+
+if __name__ == "__main__":
+    step = sys.argv[1]
+    if step not in STEPS:
+        raise SystemExit(f"unknown step {step}; have {sorted(STEPS)}")
+    STEPS[step]()
+    log("STEP DONE")

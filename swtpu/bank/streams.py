@@ -68,6 +68,21 @@ def pack_streams(
         )
     n_reads = len(targets)
     S = n_streams
+    # Fast path: equal-length reads, count divisible by S.  Greedy
+    # shortest-stream degenerates to round-robin there, so this produces the
+    # identical packing without the per-read Python loop (matters at the
+    # multi-100k-read batches the benches use).
+    if n_reads and n_reads % S == 0:
+        tmat = targets if isinstance(targets, np.ndarray) else None
+        if tmat is None and all(
+            isinstance(t, np.ndarray) and t.ndim == 1 and len(t) == len(targets[0])
+            for t in targets[: min(n_reads, 64)]
+        ):
+            lens = {len(t) for t in targets}
+            if len(lens) == 1:
+                tmat = np.stack(targets)
+        if tmat is not None and tmat.ndim == 2:
+            return _pack_streams_equal(query, tmat.astype(np.int8), S, segments)
     chunks: List[List[np.ndarray]] = [[] for _ in range(S)]
     fill = np.zeros(S, dtype=np.int64)
     emit_stream = np.zeros(n_reads, dtype=np.int32)
@@ -101,6 +116,33 @@ def pack_streams(
     q = np.full((S, qcap), Q_PAD, dtype=np.int8)
     q[:, : len(query)] = np.asarray(query, dtype=np.int8)[None, :]
     return StreamBatch(q, stream, emit_stream, emit_step, cells, segments)
+
+
+def _pack_streams_equal(
+    query: np.ndarray, tmat: np.ndarray, S: int, segments: int
+) -> StreamBatch:
+    """Vectorized round-robin packing of a [B, n] equal-length read matrix."""
+    from swtpu.ops.pallas_stream import STEP_CHUNK
+
+    qcap = LANES // segments
+    drain = qcap - 1
+    B, n = tmat.shape
+    per = B // S  # reads per stream
+    flagged = tmat.copy()
+    flagged[:, 0] |= FLAG
+    # read r -> stream r % S, slot r // S (greedy == round-robin here)
+    body = flagged.reshape(per, S, n).transpose(1, 0, 2).reshape(S, per * n)
+    T = -(-(per * n + drain) // STEP_CHUNK) * STEP_CHUNK
+    stream = np.full((S, T), STREAM_PAD, dtype=np.int8)
+    stream[:, : per * n] = body
+    r = np.arange(B, dtype=np.int64)
+    emit_stream = (r % S).astype(np.int32)
+    emit_step = (r // S) * n + (n - 1) + drain
+    q = np.full((S, qcap), Q_PAD, dtype=np.int8)
+    q[:, : len(query)] = np.asarray(query, dtype=np.int8)[None, :]
+    return StreamBatch(
+        q, stream, emit_stream, emit_step, len(query) * B * n, segments
+    )
 
 
 def gather_stream_scores(strip: np.ndarray, batch: StreamBatch) -> np.ndarray:

@@ -163,8 +163,29 @@ def _add_pen_args(p):
     p.add_argument("--gap-extend", dest="gap_extend", type=int, default=-4)
 
 
+def _select_platform(name: str) -> None:
+    """Pin the JAX platform before any backend initializes.  Needed because
+    some environments pre-import jax at interpreter start, after which
+    JAX_PLATFORMS is ignored (config.update still works)."""
+    if name == "auto":
+        return
+    import jax
+
+    jax.config.update("jax_platforms", name)
+    try:
+        jax.config.update("jax_platform_name", name)
+    except Exception:
+        pass
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     ap = argparse.ArgumentParser(prog="swtpu", description=__doc__)
+    ap.add_argument(
+        "--platform",
+        default="auto",
+        choices=["auto", "cpu", "tpu"],
+        help="pin the JAX platform (default: JAX's own choice)",
+    )
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     ps = sub.add_parser("score", help="score a library against a query on TPU")
@@ -209,6 +230,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     ).main_cli(a.suite))
 
     args = ap.parse_args(argv)
+    _select_platform(args.platform)
     return args.fn(args)
 
 

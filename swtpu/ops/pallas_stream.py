@@ -55,7 +55,7 @@ STEP_CHUNK = 32
 
 
 def _stream_kernel(
-    q_ref, s_ref, out_ref, mip, iip, mpp, ipp, hp, cp, *, ma, mi, go, ge, seg,
+    q_ref, s_ref, out_ref, gp, d1p, d2p, hp, cp, *, ma, mi, go, ge, seg,
     dt=None,
 ):
     """seg: query segments per lane column.  seg=1 uses all 128 rows for one
@@ -76,19 +76,26 @@ def _stream_kernel(
     @pl.when(c == 0)
     def _init():
         z = jnp.zeros((LANES, S), dt)
-        mip[...] = z
-        iip[...] = z
-        mpp[...] = z
-        ipp[...] = z
+        gp[...] = z
+        d1p[...] = z
+        d2p[...] = z
         hp[...] = z
-        cp[...] = jnp.full((LANES, S), 4, dt)  # sentinel-filled pipe
+        cp[...] = jnp.full((LANES, S), 4, jnp.int32)  # sentinel-filled pipe
 
-    q = q_ref[...].astype(dt)
-    sc = s_ref[...].astype(dt)
-    Mp, Ip, Mpp, Ipp, Hp, C = (
-        mip[...], iip[...], mpp[...], ipp[...], hp[...], cp[...]
-    )
-    oe = jnp.array(go + ge, dt)
+    # char pipe stays integer whatever the score-state dtype is (flag bit
+    # tests and &7 are bitwise)
+    q = q_ref[...].astype(jnp.int32)
+    sc = s_ref[...].astype(jnp.int32)
+    # Reduced-op state (algebraically identical to carrying M/I/M2/I2):
+    #   D = max(M, I)            — all the diagonal ever reads (carried 2 back)
+    #   G = max(M + (oe-e), I)   — the merged-I gap source (carried 1 back):
+    #     I_new = max(max(M_up,M_left)+oe, max(I_up,I_left)+e)
+    #           = max(G_up, G_left) + e
+    #   boundary G := 0 is exact: a boundary neighbour has M=0, I=0, so its
+    #   gap contribution is max(oe, e) = e = (G=0) + e; and since M>=0,
+    #   interior G >= oe-e, so the clamp never clips a real value.
+    Gp, D1, D2, Hp, C = gp[...], d1p[...], d2p[...], hp[...], cp[...]
+    oeme = jnp.array(go, dt)  # oe - e == go + ge - ge == go
     gext = jnp.array(ge, dt)
     strip_rows = []
 
@@ -101,20 +108,16 @@ def _stream_kernel(
         f0 = C >= FLAG_BIT
         cval = C & 7
         s = jnp.where(cval == q, ma, mi).astype(dt)
-        # diagonal: neighbours' state two steps back; zero at segment heads
+        # diagonal: neighbours' best two steps back; zero at segment heads
         # (chain-head ties, SW_ProcessingElement_v1.0.v:156-164) and at
         # target starts (column -1)
-        diag = jnp.maximum(pltpu.roll(Mpp, 1, axis=0), pltpu.roll(Ipp, 1, axis=0))
-        diag = jnp.where(jnp.logical_or(seghead, f0), zero, diag)
+        bmask = jnp.logical_or(seghead, f0)
+        diag = jnp.where(bmask, zero, pltpu.roll(D2, 1, axis=0))
         Mc = jnp.maximum(diag + s, 0)
-        # merged in-del: up = neighbour one step back, left = own one step back
-        M_up = jnp.where(seghead, zero, pltpu.roll(Mp, 1, axis=0))
-        M_left = jnp.where(f0, zero, Mp)
-        I_up = jnp.where(seghead, zero, pltpu.roll(Ip, 1, axis=0))
-        I_left = jnp.where(f0, zero, Ip)
-        Ic = jnp.maximum(
-            jnp.maximum(M_up, M_left) + oe, jnp.maximum(I_up, I_left) + gext
-        )
+        # merged in-del via the gap source
+        G_up = jnp.where(seghead, zero, pltpu.roll(Gp, 1, axis=0))
+        G_left = jnp.where(f0, zero, Gp)
+        Ic = jnp.maximum(G_up, G_left) + gext
         # high score ripples with the data; own register resets at target start
         H_in = jnp.where(seghead, zero, pltpu.roll(Hp, 1, axis=0))
         H_own = jnp.where(f0, zero, Hp)
@@ -125,14 +128,15 @@ def _stream_kernel(
             for g in range(seg)
         ]
         strip_rows.append(tails[0] if seg == 1 else jnp.concatenate(tails, axis=1))
-        Mpp, Ipp = Mp, Ip
-        Mp, Ip, Hp = Mc, Ic, Hc
+        D2 = D1
+        D1 = jnp.maximum(Mc, Ic)
+        Gp = jnp.maximum(Mc + oeme, Ic)
+        Hp = Hc
 
     out_ref[...] = jnp.concatenate(strip_rows, axis=0)
-    mip[...] = Mp
-    iip[...] = Ip
-    mpp[...] = Mpp
-    ipp[...] = Ipp
+    gp[...] = Gp
+    d1p[...] = D1
+    d2p[...] = D2
     hp[...] = Hp
     cp[...] = C
 
@@ -160,7 +164,8 @@ def _strip_call(qT, streamT, ma, mi, go, ge, interpret, seg=1, state_dtype="int3
             (STEP_CHUNK, seg * S), lambda c: (c, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((T, seg * S), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((LANES, S), dt) for _ in range(6)],
+        scratch_shapes=[pltpu.VMEM((LANES, S), dt) for _ in range(4)]
+        + [pltpu.VMEM((LANES, S), jnp.int32)],
         cost_estimate=pl.CostEstimate(
             flops=30 * S * LANES * T, bytes_accessed=(S * T) * 5, transcendentals=0
         ),
