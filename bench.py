@@ -29,7 +29,7 @@ from pathlib import Path
 import numpy as np
 
 BASELINE_GCUPS = 256.0
-S_STREAMS = 512
+S_STREAMS = int(os.environ.get("SWTPU_BENCH_STREAMS", "512"))
 STATE_DTYPE = os.environ.get("SWTPU_BENCH_STATE_DTYPE", "int32")
 
 

@@ -156,6 +156,33 @@ def cmd_diff(args) -> int:
     return 1 if mism else 0
 
 
+def cmd_events(args) -> int:
+    """Pretty-print a JSONL event log (the offline parser for swtpu's
+    debug.log analog — reference: pslse-master/debug/main.c:52-218)."""
+    from swtpu.utils import EventLog
+
+    events = EventLog.parse(args.log)
+    tot_cells = tot_reads = 0
+    tot_s = 0.0
+    for e in events:
+        print(
+            f"{e.t_wall:14.3f} {e.kind:>8} reads={e.reads:<8} "
+            f"cells={e.cells:<12} pad_eff="
+            f"{e.cells/max(e.padded_cells,1):6.1%} "
+            f"{e.elapsed_s*1e3:9.2f} ms {e.gcups:8.2f} GCUPS {e.note}"
+        )
+        tot_cells += e.cells
+        tot_reads += e.reads
+        tot_s += e.elapsed_s
+    if tot_s > 0:
+        print(
+            f"# total: {len(events)} events, {tot_reads} reads, "
+            f"{tot_cells} cells in {tot_s*1e3:.1f} ms "
+            f"-> {tot_cells/tot_s/1e9:.2f} GCUPS"
+        )
+    return 0
+
+
 def _add_pen_args(p):
     p.add_argument("--match", type=int, default=5)
     p.add_argument("--mismatch", type=int, default=-4)
@@ -222,6 +249,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     pd.add_argument("a")
     pd.add_argument("b")
     pd.set_defaults(fn=cmd_diff)
+
+    pe = sub.add_parser("events", help="pretty-print a JSONL event log")
+    pe.add_argument("log")
+    pe.set_defaults(fn=cmd_events)
 
     pr = sub.add_parser("regress", help="run a config-driven regression suite")
     pr.add_argument("--suite", help="JSON suite file (defaults built in)")

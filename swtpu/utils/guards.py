@@ -59,7 +59,7 @@ def check_scores(scores: np.ndarray, q_lens, t_lens, match: int) -> None:
     bound = match * np.minimum(np.asarray(q_lens, np.int64), np.asarray(t_lens, np.int64))
     over = s > bound
     if over.any():
-        i = int(np.argwhere(over)[0])
+        i = int(np.flatnonzero(over)[0])
         raise IntegrityError(
             f"score[{i}]={int(s[i])} exceeds bound {int(bound[i])}"
         )
