@@ -64,13 +64,39 @@ def cmd_score(args) -> int:
     t0 = time.perf_counter()
     from swtpu.utils import profile_trace
 
-    with profile_trace(args.profile):
+    def _run():
         if args.resume:
             from swtpu.bank.resume import score_database_resumable
 
-            res = score_database_resumable(bank, query, targets, args.resume)
+            return score_database_resumable(bank, query, targets, args.resume)
+        return bank.score_database(query, targets, event_log=event_log)
+
+    with profile_trace(args.profile):
+        if args.timeout > 0:
+            # hard job deadline, the analog of main_test.c's WED-status poll
+            # timeout (main_test.c:434-445): report and exit non-zero instead
+            # of hanging on a wedged device
+            import threading
+
+            box = {}
+
+            def _work():
+                try:
+                    box["res"] = _run()
+                except Exception as e:  # pragma: no cover
+                    box["err"] = e
+
+            th = threading.Thread(target=_work, daemon=True)
+            th.start()
+            th.join(timeout=args.timeout)
+            if "err" in box:
+                raise box["err"]
+            if "res" not in box:
+                print(f"# TIMEOUT after {args.timeout}s", file=sys.stderr)
+                return 16  # mirrors the reference's timeout error path
+            res = box["res"]
         else:
-            res = bank.score_database(query, targets, event_log=event_log)
+            res = _run()
     if event_log is not None:
         event_log.close()
     out = open(args.output, "w") if args.output else sys.stdout

@@ -55,8 +55,8 @@ STEP_CHUNK = 32
 
 
 def _stream_kernel(
-    q_ref, s_ref, out_ref, gp, d1p, d2p, hp, cp, *, ma, mi, go, ge, seg,
-    dt=None,
+    q_ref, s_ref, out_ref, gp, d1p, d2p, hp, cp, ap=None, *, ma, mi, go, ge,
+    seg, dt=None, tail_acc=False,
 ):
     """seg: query segments per lane column.  seg=1 uses all 128 rows for one
     query; seg=G packs G independent queries of <=128/G bases per column
@@ -81,6 +81,8 @@ def _stream_kernel(
         d2p[...] = z
         hp[...] = z
         cp[...] = jnp.full((LANES, S), 4, jnp.int32)  # sentinel-filled pipe
+        if tail_acc:
+            ap[...] = jnp.zeros((8, S), dt)
 
     # char pipe stays integer whatever the score-state dtype is (flag bit
     # tests and &7 are bitwise)
@@ -95,6 +97,9 @@ def _stream_kernel(
     #   gap contribution is max(oe, e) = e = (G=0) + e; and since M>=0,
     #   interior G >= oe-e, so the clamp never clips a real value.
     Gp, D1, D2, Hp, C = gp[...], d1p[...], d2p[...], hp[...], cp[...]
+    # per-segment tail accumulators live as values during the chunk and are
+    # stored back to the (8, S) scratch at the end (no scatter: static rows)
+    acc = [ap[g, :] if tail_acc else None for g in range(seg)]
     oeme = jnp.array(go, dt)  # oe - e == go + ge - ge == go
     gext = jnp.array(ge, dt)
     strip_rows = []
@@ -118,16 +123,39 @@ def _stream_kernel(
         G_up = jnp.where(seghead, zero, pltpu.roll(Gp, 1, axis=0))
         G_left = jnp.where(f0, zero, Gp)
         Ic = jnp.maximum(G_up, G_left) + gext
-        # high score ripples with the data; own register resets at target start
-        H_in = jnp.where(seghead, zero, pltpu.roll(Hp, 1, axis=0))
-        H_own = jnp.where(f0, zero, Hp)
-        Hc = jnp.maximum(jnp.maximum(H_in, H_own), Mc)
-        # capture each segment's tail row for the emission strip
-        tails = [
-            Hc[(g + 1) * qcap - 1 : (g + 1) * qcap, :].astype(jnp.int32)
-            for g in range(seg)
-        ]
-        strip_rows.append(tails[0] if seg == 1 else jnp.concatenate(tails, axis=1))
+        if tail_acc:
+            # pure down-ripple: at the segment tail row, step t carries the
+            # max of exactly one DP column (every row's contribution at step
+            # t was computed from the char injected at step t - row, i.e.
+            # the same char for all rows).  A per-tail accumulator with a
+            # flag-driven reset then integrates the per-column maxes — two
+            # full-plane ops cheaper per step than the own-carry ripple.
+            Hc = jnp.maximum(jnp.where(seghead, zero, pltpu.roll(Hp, 1, axis=0)), Mc)
+            tails = []
+            for g in range(seg):
+                tr = (g + 1) * qcap - 1
+                a = jnp.maximum(
+                    jnp.where(f0[tr, :], zero, acc[g]), Hc[tr, :]
+                )
+                acc[g] = a
+                tails.append(a[None, :].astype(jnp.int32))
+            strip_rows.append(
+                tails[0] if seg == 1 else jnp.concatenate(tails, axis=1)
+            )
+        else:
+            # high score ripples with the data; own register resets at
+            # target start
+            H_in = jnp.where(seghead, zero, pltpu.roll(Hp, 1, axis=0))
+            H_own = jnp.where(f0, zero, Hp)
+            Hc = jnp.maximum(jnp.maximum(H_in, H_own), Mc)
+            # capture each segment's tail row for the emission strip
+            tails = [
+                Hc[(g + 1) * qcap - 1 : (g + 1) * qcap, :].astype(jnp.int32)
+                for g in range(seg)
+            ]
+            strip_rows.append(
+                tails[0] if seg == 1 else jnp.concatenate(tails, axis=1)
+            )
         D2 = D1
         D1 = jnp.maximum(Mc, Ic)
         Gp = jnp.maximum(Mc + oeme, Ic)
@@ -139,9 +167,15 @@ def _stream_kernel(
     d2p[...] = D2
     hp[...] = Hp
     cp[...] = C
+    if tail_acc:
+        for g in range(seg):
+            ap[g, :] = acc[g]
 
 
-def _strip_call(qT, streamT, ma, mi, go, ge, interpret, seg=1, state_dtype="int32"):
+def _strip_call(
+    qT, streamT, ma, mi, go, ge, interpret, seg=1, state_dtype="int32",
+    tail_acc=True,
+):
     """qT: [128, S_phys] int8, streamT: [T, seg*S_phys] int8
     -> strip [T, seg*S_phys] int32."""
     S = qT.shape[1]
@@ -149,7 +183,8 @@ def _strip_call(qT, streamT, ma, mi, go, ge, interpret, seg=1, state_dtype="int3
     nc = T // STEP_CHUNK
     dt = jnp.dtype(state_dtype).type if state_dtype != "int32" else jnp.int32
     kernel = functools.partial(
-        _stream_kernel, ma=ma, mi=mi, go=go, ge=ge, seg=seg, dt=dt
+        _stream_kernel, ma=ma, mi=mi, go=go, ge=ge, seg=seg, dt=dt,
+        tail_acc=tail_acc,
     )
     out = pl.pallas_call(
         kernel,
@@ -165,7 +200,8 @@ def _strip_call(qT, streamT, ma, mi, go, ge, interpret, seg=1, state_dtype="int3
         ),
         out_shape=jax.ShapeDtypeStruct((T, seg * S), jnp.int32),
         scratch_shapes=[pltpu.VMEM((LANES, S), dt) for _ in range(4)]
-        + [pltpu.VMEM((LANES, S), jnp.int32)],
+        + [pltpu.VMEM((LANES, S), jnp.int32)]
+        + ([pltpu.VMEM((8, S), dt)] if tail_acc else []),
         cost_estimate=pl.CostEstimate(
             flops=30 * S * LANES * T, bytes_accessed=(S * T) * 5, transcendentals=0
         ),
@@ -209,7 +245,10 @@ def _validate(q, stream, segments, interpret):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("penalties", "interpret", "segments", "state_dtype")
+    jax.jit,
+    static_argnames=(
+        "penalties", "interpret", "segments", "state_dtype", "tail_acc"
+    ),
 )
 def sw_scores_stream_strip(
     q: jnp.ndarray,
@@ -218,6 +257,7 @@ def sw_scores_stream_strip(
     interpret: bool = False,
     segments: int = 1,
     state_dtype: str = "int32",
+    tail_acc: bool = True,
 ) -> jnp.ndarray:
     """Run the wavefront over packed streams; returns the raw H strip.
 
@@ -238,13 +278,17 @@ def sw_scores_stream_strip(
     _validate(q, stream, segments, interpret)
     qk, sk = _to_kernel_layout(q, stream, segments)
     out = _strip_call(
-        qk, sk, ma, mi, go, ge, interpret, seg=segments, state_dtype=state_dtype
+        qk, sk, ma, mi, go, ge, interpret, seg=segments,
+        state_dtype=state_dtype, tail_acc=tail_acc,
     )
     return out.T
 
 
 @functools.partial(
-    jax.jit, static_argnames=("penalties", "interpret", "segments", "state_dtype")
+    jax.jit,
+    static_argnames=(
+        "penalties", "interpret", "segments", "state_dtype", "tail_acc"
+    ),
 )
 def sw_scores_stream(
     q: jnp.ndarray,
@@ -255,6 +299,7 @@ def sw_scores_stream(
     interpret: bool = False,
     segments: int = 1,
     state_dtype: str = "int32",
+    tail_acc: bool = True,
 ) -> jnp.ndarray:
     """Wavefront scoring with on-device emission gather: only the per-read
     scores leave the chip (the strip stays in HBM) — the analog of the
@@ -265,7 +310,8 @@ def sw_scores_stream(
     _validate(q, stream, segments, interpret)
     qk, sk = _to_kernel_layout(q, stream, segments)
     strip = _strip_call(
-        qk, sk, ma, mi, go, ge, interpret, seg=segments, state_dtype=state_dtype
+        qk, sk, ma, mi, go, ge, interpret, seg=segments,
+        state_dtype=state_dtype, tail_acc=tail_acc,
     )  # [T, N]
     live = emit_step >= 0
     safe_step = jnp.where(live, emit_step, 0)
