@@ -1,0 +1,109 @@
+"""Sequential TPU experiment campaign (tunnel-safe).
+
+Runs a queue of one-compile-per-run steps, each in a child process with a
+hard timeout (killed by exact PID on expiry — never by pattern).  Between
+steps a cheap probe gates progress; on probe failure the campaign sleeps
+and retries, because tunnel wedges are transient.  At most ONE TPU process
+exists at any time.
+
+Usage: python -u experiments/tpu_campaign.py [queue-name]
+Log: experiments/campaign.log (append-only, timestamped).
+"""
+
+import os
+import signal
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+LOG = ROOT / "experiments" / "campaign.log"
+
+QUEUES = {
+    "perf1": [
+        # (argv, timeout_s)
+        (["experiments/tpu_step.py", "probe"], 120),
+        (["experiments/microbench_ops.py"], 560),
+        (["experiments/kernel_ablate.py", "512", "int32"], 560),
+        (["experiments/tpu_step.py", "chain_stream_s512"], 480),
+        (["experiments/tpu_step.py", "chain_stream_s512_f32"], 480),
+    ],
+    "perf2": [
+        (["experiments/kernel_ablate.py", "512", "int16"], 560),
+        (["experiments/kernel_ablate.py", "512", "float32"], 560),
+        (["experiments/kernel_ablate.py", "1024", "int32"], 560),
+    ],
+}
+
+
+def log(msg):
+    line = f"[{time.strftime('%Y-%m-%d %H:%M:%S')}] {msg}"
+    print(line, flush=True)
+    with open(LOG, "a") as f:
+        f.write(line + "\n")
+
+
+def run_child(argv, timeout_s):
+    proc = subprocess.Popen(
+        [sys.executable, "-u"] + argv,
+        cwd=ROOT,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+        start_new_session=True,
+    )
+    try:
+        out, _ = proc.communicate(timeout=timeout_s)
+        return proc.returncode, out
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except Exception:
+            proc.kill()
+        proc.wait()
+        return -9, "(timed out)"
+
+
+def probe_ok():
+    rc, out = run_child(["experiments/tpu_step.py", "probe"], 120)
+    return rc == 0 and "probe ok" in out
+
+
+def main():
+    queue = QUEUES[sys.argv[1] if len(sys.argv) > 1 else "perf1"]
+    deadline = time.time() + float(os.environ.get("CAMPAIGN_BUDGET_S", "7200"))
+    log(f"campaign start: {len(queue)} steps")
+    # gate on a healthy tunnel first
+    while time.time() < deadline:
+        if probe_ok():
+            log("probe ok — tunnel healthy")
+            break
+        log("probe failed — sleeping 300 s")
+        time.sleep(300)
+    else:
+        log("campaign abandoned: tunnel never answered")
+        return
+    for argv, timeout_s in queue:
+        if time.time() > deadline:
+            log("campaign budget exhausted")
+            break
+        name = " ".join(argv)
+        log(f"step start: {name}")
+        rc, out = run_child(argv, timeout_s)
+        for line in out.splitlines():
+            log(f"  | {line}")
+        log(f"step done: {name} rc={rc}")
+        if rc != 0:
+            # re-probe before continuing; wedged tunnel poisons everything
+            if not probe_ok():
+                log("tunnel wedged after failure — sleeping 600 s")
+                time.sleep(600)
+                if not probe_ok():
+                    log("still wedged; stopping campaign")
+                    break
+    log("campaign end")
+
+
+if __name__ == "__main__":
+    main()
