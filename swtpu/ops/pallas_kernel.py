@@ -109,6 +109,92 @@ def _sw_kernel(q_ref, t_ref, out_ref, *, ma, mi, go, ge, unroll, chunk, dt=jnp.i
     out_ref[0, :] = jnp.max(H, axis=0).astype(jnp.int32)
 
 
+def _sw_kernel_chained(
+    q_ref, t_ref, ms_ref, is_ref, h_ref, out_h, out_ms, out_is,
+    *, ma, mi, go, ge, unroll, chunk, dt=jnp.int32,
+):
+    """One query tile of the chained DP: rows [tile*mt, tile*mt+mt) of the
+    full query, all target columns.
+
+    The strip refs carry the previous tile's LAST-ROW state per target
+    column — ms/is = M/I at (prev tile's last row, j) — exactly the data the
+    reference's reserved chaining ports would ship between cascaded
+    ScoringModules (ScoreBank/ScoringModule_v1.1.v:36-54).  First tile gets
+    all-zero strips (the zero boundary).  out_ms/out_is are this tile's
+    last-row strips; out_h accumulates the running high score.
+    """
+    mt, bt = q_ref.shape
+    n = t_ref.shape[0]
+    if dt == jnp.float32:
+        neg = jnp.array(-(2**23), dt)
+    elif dt == jnp.int16:
+        neg = jnp.array(-(2**13), dt)
+    else:
+        neg = jnp.array(-(2**30), dt)
+    row_iota = jax.lax.broadcasted_iota(dt, (mt, 1), 0)
+    row0 = row_iota == 0
+    q = q_ref[:, :].astype(dt)
+    oe = jnp.array(go + ge, dt)
+    gext = jnp.array(ge, dt)
+
+    def one_column(t_row, ms_j, is_j, carry):
+        M, I, H, dprev = carry
+        s = jnp.where(q == t_row, ma, mi).astype(dt)
+        diag = jnp.maximum(M, I)
+        # row 0's diagonal neighbour is (prev tile's last row, j-1)
+        diag_s = jnp.where(row0, dprev, pltpu.roll(diag, 1, axis=0))
+        M_new = jnp.maximum(diag_s + s, 0)
+        # row 0's up-neighbour M is the incoming strip at column j
+        M_up = jnp.where(row0, ms_j, pltpu.roll(M_new, 1, axis=0))
+        # row 0's intra-column I seed: I(prev last row, j) + ge
+        i0_bias = jnp.where(row0, is_j + gext, neg)
+        base = jnp.maximum(
+            jnp.maximum(M_up, M) + oe,
+            jnp.maximum(I + gext, i0_bias),
+        )
+        x = base
+        k = 1
+        while k < mt:
+            x = jnp.maximum(x, _shift_down(x, k, neg, row_iota) + jnp.array(k * ge, dt))
+            k *= 2
+        H = jnp.maximum(H, M_new)
+        return M_new, x, H, jnp.maximum(ms_j, is_j)
+
+    last = mt - 1
+
+    def chunk_step(jc, carry):
+        start = pl.multiple_of(jc * chunk, chunk)
+        tc = t_ref[pl.ds(start, chunk), :].astype(dt)
+        msc = ms_ref[pl.ds(start, chunk), :].astype(dt)
+        isc = is_ref[pl.ds(start, chunk), :].astype(dt)
+        ms_rows = []
+        is_rows = []
+        for r in range(chunk):
+            carry = one_column(
+                tc[r : r + 1, :], msc[r : r + 1, :], isc[r : r + 1, :], carry
+            )
+            M_new, x = carry[0], carry[1]
+            ms_rows.append(M_new[last : last + 1, :])
+            is_rows.append(x[last : last + 1, :])
+        out_ms[pl.ds(start, chunk), :] = jnp.concatenate(ms_rows, axis=0).astype(
+            jnp.int32
+        )
+        out_is[pl.ds(start, chunk), :] = jnp.concatenate(is_rows, axis=0).astype(
+            jnp.int32
+        )
+        return carry
+
+    init = (
+        jnp.zeros((mt, bt), dt),
+        jnp.zeros((mt, bt), dt),
+        jnp.zeros((mt, bt), dt),
+        jnp.zeros((1, bt), dt),  # diag at column -1 = zero boundary
+    )
+    carry = jax.lax.fori_loop(0, n // chunk, chunk_step, init, unroll=unroll)
+    H = carry[2]
+    out_h[0, :] = jnp.maximum(h_ref[0, :], jnp.max(H, axis=0).astype(jnp.int32))
+
+
 def _block_pairs_default(m: int) -> int:
     # keep ~3 int32 state arrays + temps comfortably inside VMEM
     if m <= 128:
@@ -116,6 +202,22 @@ def _block_pairs_default(m: int) -> int:
     if m <= 256:
         return 512
     return 256
+
+
+# Queries longer than this are scored by chaining query tiles of this many
+# rows, carrying last-row M/I strips between tiles (the reference's reserved
+# module-chaining ports, ScoreBank/ScoringModule_v1.1.v:36-54).  LEN_WIDTH=12
+# in the RTL (ScoreBank/ScoreBank_v2.v:14-15) declares the 4095-base intent.
+QUERY_TILE = 256
+
+
+def _block_pairs_chained(n: int) -> int:
+    # in+out strips are 16 B/column/pair (2x int32 in, 2x int32 out) plus the
+    # int8 target block; keep the working set ~<= 8 MB of the ~16 MB VMEM so
+    # grid pipelining has room to double-buffer
+    budget = 8 * 2**20
+    bt = budget // max(1, n * 17)
+    return max(128, min(512, (bt // 128) * 128))
 
 
 @functools.partial(
@@ -148,7 +250,12 @@ def sw_scores_pallas(
     ma, mi, go, ge = penalties.astuple()
     B, m = q.shape
     n = t.shape[1]
-    bt = block_pairs or _block_pairs_default(m)
+    dt = jnp.dtype(state_dtype).type if state_dtype != "int32" else jnp.int32
+    chained = m > QUERY_TILE
+    if chained:
+        bt = block_pairs or _block_pairs_chained(n)
+    else:
+        bt = block_pairs or _block_pairs_default(m)
     bt = min(bt, max(128, B))
     # interpreter mode has no tile-alignment constraints; a small chunk
     # keeps the traced program (chunk x unrolled column bodies) tractable
@@ -156,10 +263,12 @@ def sw_scores_pallas(
 
     # static-shape padding, all with sentinels (provably score-neutral):
     #   pairs  -> whole number of lane blocks
-    #   query  -> multiple of 8 sublanes (int32 state tile height)
+    #   query  -> multiple of 8 sublanes (int32 state tile height), or of
+    #             QUERY_TILE rows when tile-chaining
     #   target -> multiple of `chunk` rows (aligned chunked loads)
     Bp = -(-B // bt) * bt
-    mp = -(-m // 8) * 8
+    mq = QUERY_TILE if chained else 8
+    mp = -(-m // mq) * mq
     np_ = -(-n // chunk) * chunk
     if Bp != B or mp != m:
         q = jnp.pad(q, ((0, Bp - B), (0, mp - m)), constant_values=Q_PAD)
@@ -171,9 +280,14 @@ def sw_scores_pallas(
     qT = q.astype(jnp.int8).T  # [m, Bp]
     tT = t.astype(jnp.int8).T  # [n, Bp]
 
+    if chained:
+        return _chained_call(
+            qT, tT, ma, mi, go, ge, interpret, unroll, chunk, dt, bt, nb
+        )[0, :B]
+
     kernel = functools.partial(
         _sw_kernel, ma=ma, mi=mi, go=go, ge=ge, unroll=unroll, chunk=chunk,
-        dt=jnp.dtype(state_dtype).type if state_dtype != "int32" else jnp.int32,
+        dt=dt,
     )
     out = pl.pallas_call(
         kernel,
@@ -190,3 +304,47 @@ def sw_scores_pallas(
         interpret=interpret,
     )(qT, tT)
     return out[0, :B]
+
+
+def _chained_call(qT, tT, ma, mi, go, ge, interpret, unroll, chunk, dt, bt, nb):
+    """Chain QUERY_TILE-row kernel invocations over the query dimension,
+    threading last-row M/I strips and the running high score through HBM
+    between tiles (SURVEY.md §5 long-context; the chaining-ports analog)."""
+    m, Bp = qT.shape
+    n = tT.shape[0]
+    mt = QUERY_TILE
+    kernel = functools.partial(
+        _sw_kernel_chained, ma=ma, mi=mi, go=go, ge=ge, unroll=unroll,
+        chunk=chunk, dt=dt,
+    )
+    strip_spec = pl.BlockSpec((n, bt), lambda b: (0, b), memory_space=pltpu.VMEM)
+    h_spec = pl.BlockSpec((1, bt), lambda b: (0, b), memory_space=pltpu.VMEM)
+    h = jnp.zeros((1, Bp), jnp.int32)
+    ms = jnp.zeros((n, Bp), jnp.int32)
+    is_ = jnp.zeros((n, Bp), jnp.int32)
+    for k in range(m // mt):
+        qtile = jax.lax.slice(qT, (k * mt, 0), ((k + 1) * mt, Bp))
+        h, ms, is_ = pl.pallas_call(
+            kernel,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((mt, bt), lambda b: (0, b), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n, bt), lambda b: (0, b), memory_space=pltpu.VMEM),
+                strip_spec,
+                strip_spec,
+                h_spec,
+            ],
+            out_specs=(h_spec, strip_spec, strip_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((1, Bp), jnp.int32),
+                jax.ShapeDtypeStruct((n, Bp), jnp.int32),
+                jax.ShapeDtypeStruct((n, Bp), jnp.int32),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=10 * mt * n * Bp,
+                bytes_accessed=(mt + n) * Bp + 16 * n * Bp,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(qtile, tT, ms, is_, h)
+    return h

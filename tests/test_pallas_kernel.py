@@ -84,6 +84,48 @@ def test_pallas_long_query_sublane():
     np.testing.assert_array_equal(got, want)
 
 
+# Query-tile chaining (m > QUERY_TILE): last-row M/I strips carried between
+# 256-row tiles — the realization of the reference's reserved chaining ports
+# (ScoreBank/ScoringModule_v1.1.v:36-54) up to the LEN_WIDTH=12 -> 4095-base
+# envelope (ScoreBank/ScoreBank_v2.v:14-15).
+@pytest.mark.parametrize(
+    "B,m,n,seed",
+    [(6, 300, 48, 5), (4, 1024, 32, 6), (3, 4000, 24, 7)],
+)
+def test_pallas_chained_long_query(B, m, n, seed):
+    rng = np.random.default_rng(seed)
+    q_lens = rng.integers(m // 2, m + 1, size=B)
+    t_lens = rng.integers(1, n + 1, size=B)
+    q = rng.integers(0, 4, size=(B, m)).astype(np.int8)
+    t = rng.integers(0, 4, size=(B, n)).astype(np.int8)
+    want = sw_score_batch(q, t, q_lens, t_lens)
+    qp, tp = sentinel_pad_batch(q, q_lens, t, t_lens)
+    got = np.asarray(
+        sw_scores_pallas(qp, tp, block_pairs=128, interpret=INTERPRET, unroll=1)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_chained_gap_spans_tiles():
+    # a long gap crossing the tile boundary exercises the I-strip carry
+    rng = np.random.default_rng(9)
+    tseq = rng.integers(0, 4, size=80).astype(np.int8)
+    # query = target's first 40 bases + 300 junk-free inserts + last 40
+    q = np.concatenate(
+        [tseq[:40], rng.integers(0, 4, size=300).astype(np.int8), tseq[40:]]
+    )
+    qs = q[None, :]
+    ts = tseq[None, :]
+    want = sw_score_batch(qs, ts, np.array([len(q)]), np.array([80]))
+    qp, tp = sentinel_pad_batch(
+        qs, np.array([len(q)]), ts, np.array([80])
+    )
+    got = np.asarray(
+        sw_scores_pallas(qp, tp, block_pairs=128, interpret=INTERPRET, unroll=1)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
 def test_pallas_f32_state():
     rng = np.random.default_rng(22)
     q, q_lens, t, t_lens = _random_ragged(rng, 8, 24, 24)
