@@ -13,7 +13,7 @@ with a first-char flag, and every read's score-emission coordinate
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 
@@ -53,9 +53,15 @@ def pack_streams(
     targets: Sequence[np.ndarray],
     n_streams: int = 256,
     segments: int = 1,
+    lens: Optional[np.ndarray] = None,
 ) -> StreamBatch:
     """Assign reads to streams (greedy shortest-stream), concatenate with
     flags, compute emission coordinates.
+
+    targets: either a sequence of 1-D code arrays, or — the fast dense form —
+    a [n_reads, width] int8 matrix with `lens` giving each read's real
+    length (the rest of each row is ignored).  The dense form takes the
+    native C++ plan/fill path when the toolchain is available.
 
     segments: queries per lane column in the kernel (1/2/4).  Short queries
     (<= 128//segments bases) at segments=4 quadruple wavefront utilization."""
@@ -66,13 +72,21 @@ def pack_streams(
             f"query of {len(query)} bases exceeds capacity {qcap} at "
             f"segments={segments}"
         )
+    if lens is not None:
+        tmat = np.asarray(targets)
+        if tmat.ndim != 2:
+            raise ValueError("lens requires a dense [n, width] target matrix")
+        return _pack_streams_dense(
+            query, tmat.astype(np.int8, copy=False),
+            np.asarray(lens, np.int32), n_streams, segments,
+        )
     n_reads = len(targets)
     S = n_streams
     # Fast path: equal-length reads, count divisible by S.  Greedy
     # shortest-stream degenerates to round-robin there, so this produces the
     # identical packing without the per-read Python loop (matters at the
     # multi-100k-read batches the benches use).
-    if n_reads and n_reads % S == 0:
+    if n_reads and n_reads % S == 0 and len(targets[0]) > 0:
         tmat = targets if isinstance(targets, np.ndarray) else None
         if tmat is None and all(
             isinstance(t, np.ndarray) and t.ndim == 1 and len(t) == len(targets[0])
@@ -118,6 +132,43 @@ def pack_streams(
     return StreamBatch(q, stream, emit_stream, emit_step, cells, segments)
 
 
+def _pack_streams_dense(
+    query: np.ndarray, tmat: np.ndarray, lens: np.ndarray, S: int,
+    segments: int,
+) -> StreamBatch:
+    """Ragged dense-matrix packing via the native C++ plan/fill pipeline
+    (swtpu_native.cpp); pure-Python greedy fallback if the toolchain is
+    missing.  Bit-identical to the per-read greedy path."""
+    from swtpu.ops.pallas_stream import STEP_CHUNK
+
+    qcap = LANES // segments
+    drain = qcap - 1
+    n_reads = tmat.shape[0]
+    try:
+        from swtpu.runtime.native import NativePacker, native_available
+
+        if not native_available():
+            raise RuntimeError("native unavailable")
+        packer = NativePacker()
+        emit_stream, emit_step, max_fill = packer.plan_streams(lens, S, drain)
+        T = max(max_fill + drain, STEP_CHUNK) if n_reads else STEP_CHUNK
+        T = -(-T // STEP_CHUNK) * STEP_CHUNK
+        stream = packer.fill_streams(
+            tmat, lens, emit_stream, emit_step, drain, FLAG, T, S, STREAM_PAD
+        )
+    except RuntimeError:
+        return pack_streams(
+            query,
+            [tmat[i, : lens[i]] for i in range(n_reads)],
+            n_streams=S,
+            segments=segments,
+        )
+    q = np.full((S, qcap), Q_PAD, dtype=np.int8)
+    q[:, : len(query)] = np.asarray(query, dtype=np.int8)[None, :]
+    cells = int(len(query)) * int(lens.astype(np.int64).sum())
+    return StreamBatch(q, stream, emit_stream, emit_step, cells, segments)
+
+
 def _pack_streams_equal(
     query: np.ndarray, tmat: np.ndarray, S: int, segments: int
 ) -> StreamBatch:
@@ -143,6 +194,102 @@ def _pack_streams_equal(
     return StreamBatch(
         q, stream, emit_stream, emit_step, len(query) * B * n, segments
     )
+
+
+@dataclasses.dataclass
+class ShardedStreamBatch:
+    """Per-device stacks of stream batches (leading axis = mesh shard).
+
+    The multi-chip form of the feeder bank: each device is one ScoreBank
+    (the `MODULES` scaling axis, ScoreBank/ScoreBank_v2.v:17,77-139), reads
+    are dealt round-robin across shards, and every shard's streams pad to a
+    common length so one shard_map dispatch covers the mesh.
+
+    q: [D, N, 128//segments] int8; stream: [D, N, T] int8.
+    emit_stream/emit_step: [D, R] gather coordinates (R = max reads/shard).
+    ids: [D, R] global read index, -1 on padding slots.
+    cells: total real DP cells across shards.
+    """
+
+    q: np.ndarray
+    stream: np.ndarray
+    emit_stream: np.ndarray
+    emit_step: np.ndarray
+    ids: np.ndarray
+    cells: int
+    segments: int = 1
+
+
+def pack_streams_sharded(
+    query: np.ndarray,
+    targets: Sequence[np.ndarray],
+    n_shards: int,
+    n_streams: int = 256,
+    segments: int = 1,
+) -> ShardedStreamBatch:
+    """Deal reads round-robin to `n_shards` device shards and pack each with
+    :func:`pack_streams`; pad stream length and read count to shard maxima."""
+    groups = [list(range(d, len(targets), n_shards)) for d in range(n_shards)]
+    batches = [
+        pack_streams(
+            query, [targets[i] for i in g], n_streams=n_streams,
+            segments=segments,
+        )
+        for g in groups
+    ]
+    T = max(b.stream.shape[1] for b in batches)
+    R = max(len(g) for g in groups)
+    D = n_shards
+    q = np.stack([b.q for b in batches])
+    stream = np.full((D, n_streams, T), STREAM_PAD, dtype=np.int8)
+    emit_stream = np.zeros((D, R), np.int32)
+    emit_step = np.full((D, R), -1, np.int64)
+    ids = np.full((D, R), -1, np.int32)
+    cells = 0
+    for d, (g, b) in enumerate(zip(groups, batches)):
+        stream[d, :, : b.stream.shape[1]] = b.stream
+        emit_stream[d, : len(g)] = b.emit_stream
+        emit_step[d, : len(g)] = b.emit_step
+        ids[d, : len(g)] = g
+        cells += b.cells
+    return ShardedStreamBatch(
+        q, stream, emit_stream, emit_step, ids, cells, segments
+    )
+
+
+def scatter_sharded_scores(
+    shard_scores: np.ndarray, batch: ShardedStreamBatch, n_reads: int
+) -> np.ndarray:
+    """[D, R] per-shard scores -> [n_reads] read-order scores."""
+    out = np.zeros(n_reads, np.int32)
+    live = batch.ids >= 0
+    out[batch.ids[live]] = np.asarray(shard_scores)[live]
+    return out
+
+
+def pack_stream_wire(stream: np.ndarray):
+    """Compress a flagged char-stream matrix for the host->device wire:
+    2-bit codes packed 4/byte LSB-first (the reference's transfer packing,
+    aligner_Header.c:30-41) plus a first-char flag bitmap packed 8/byte —
+    2.5 bits/char instead of 8, a 3.2x H2D cut on the tunnel-limited link.
+
+    Pad chars lose their identity (code 4 -> 0), which is score-safe: pad
+    columns sit after every gathered emission step, and read boundaries are
+    re-established by the flag bits (see sw_scores_stream_packed).
+
+    stream: [N, T] int8, T % 8 == 0.  Returns (codes [N, T//4] uint8,
+    flags [N, T//8] uint8)."""
+    N, T = stream.shape
+    if T % 8:
+        raise ValueError(f"stream length {T} must be a multiple of 8")
+    u = stream.astype(np.uint8)
+    quads = (u & 3).reshape(N, T // 4, 4)
+    shifts = np.array([0, 2, 4, 6], dtype=np.uint8)
+    codes = np.bitwise_or.reduce(quads << shifts, axis=2).astype(np.uint8)
+    flags = np.packbits(
+        (u & FLAG) != 0, axis=1, bitorder="little"
+    )
+    return codes, flags
 
 
 def gather_stream_scores(strip: np.ndarray, batch: StreamBatch) -> np.ndarray:

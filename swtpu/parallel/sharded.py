@@ -20,6 +20,7 @@ import functools
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
@@ -58,6 +59,58 @@ def make_sharded_scorer(
         return kernel(q, t)
 
     return jax.jit(score)
+
+
+def make_sharded_stream_scorer(
+    mesh: Mesh,
+    axis: str = "data",
+    penalties: Penalties = DEFAULT_PENALTIES,
+    interpret: bool = False,
+    segments: int = 1,
+    k: int = 0,
+) -> Callable:
+    """Shard the streamed-wavefront backend (the headline kernel) over the
+    mesh: each device runs one feeder bank's streams and emits its shard's
+    read scores; with k > 0 a collective top-K merge also returns the mesh's
+    best hits (the `max`/`vld_max` intent, ScoreBank/ScoreBank_v2.v:42-43).
+
+    Inputs are a ShardedStreamBatch's arrays (leading axis = shard):
+      scores[D, R] = f(q[D, N, qcap], stream[D, N, T],
+                       emit_stream[D, R], emit_step[D, R], ids[D, R])
+    With k > 0 returns (scores[D, R], top_scores[k], top_ids[k]).
+    """
+    from swtpu.ops.pallas_stream import sw_scores_stream
+
+    def shard_fn(q, stream, es, ep, ids):
+        s = sw_scores_stream(
+            q[0], stream[0], es[0], ep[0],
+            penalties=penalties, interpret=interpret, segments=segments,
+        )
+        if not k:
+            return s[None, :]
+        live = ids[0] >= 0
+        masked = jnp.where(live, s, jnp.iinfo(jnp.int32).min)
+        kk = min(k, masked.shape[0])
+        loc_s, loc_i = jax.lax.top_k(masked, kk)
+        loc_ids = ids[0][loc_i]
+        all_s = jax.lax.all_gather(loc_s, axis, tiled=True)
+        all_ids = jax.lax.all_gather(loc_ids, axis, tiled=True)
+        fin_s, fin_i = jax.lax.top_k(all_s, k)
+        return s[None, :], fin_s, all_ids[fin_i]
+
+    specs5 = (
+        P(axis, None, None),
+        P(axis, None, None),
+        P(axis, None),
+        P(axis, None),
+        P(axis, None),
+    )
+    out_specs = P(axis, None) if not k else (P(axis, None), P(), P())
+    fn = shard_map(
+        shard_fn, mesh=mesh, in_specs=specs5, out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(fn)
 
 
 def make_sharded_topk(

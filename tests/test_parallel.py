@@ -78,3 +78,58 @@ def test_multihost_api_single_process(mesh):
     np.testing.assert_array_equal(local, want)
     for s, i in zip(top_s, top_ids):
         assert want[i] == s
+
+
+def test_sharded_stream_scorer(mesh):
+    # the headline wavefront kernel sharded over the mesh (interpret on CPU)
+    from swtpu.bank.streams import pack_streams_sharded, scatter_sharded_scores
+    from swtpu.oracle import score_many_vs_one
+    from swtpu.parallel import make_sharded_stream_scorer
+
+    rng = np.random.default_rng(6)
+    targets = [
+        rng.integers(0, 4, size=rng.integers(3, 50)).astype(np.int8)
+        for _ in range(37)
+    ]
+    query = rng.integers(0, 4, size=21).astype(np.int8)
+    want = score_many_vs_one(query, targets)
+    batch = pack_streams_sharded(query, targets, n_shards=8, n_streams=8)
+    scorer = make_sharded_stream_scorer(mesh, interpret=True)
+    got = scatter_sharded_scores(
+        np.asarray(
+            scorer(
+                batch.q, batch.stream, batch.emit_stream,
+                batch.emit_step.astype(np.int32), batch.ids,
+            )
+        ),
+        batch,
+        len(targets),
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_stream_topk(mesh):
+    from swtpu.bank.streams import pack_streams_sharded, scatter_sharded_scores
+    from swtpu.oracle import score_many_vs_one
+    from swtpu.parallel import make_sharded_stream_scorer
+
+    rng = np.random.default_rng(7)
+    targets = [
+        rng.integers(0, 4, size=rng.integers(3, 50)).astype(np.int8)
+        for _ in range(29)
+    ]
+    query = rng.integers(0, 4, size=17).astype(np.int8)
+    want = score_many_vs_one(query, targets)
+    batch = pack_streams_sharded(query, targets, n_shards=8, n_streams=8)
+    scorer = make_sharded_stream_scorer(mesh, interpret=True, k=5)
+    s, top_s, top_ids = scorer(
+        batch.q, batch.stream, batch.emit_stream,
+        batch.emit_step.astype(np.int32), batch.ids,
+    )
+    got = scatter_sharded_scores(np.asarray(s), batch, len(targets))
+    np.testing.assert_array_equal(got, want)
+    top_s, top_ids = np.asarray(top_s), np.asarray(top_ids)
+    order = np.argsort(-want, kind="stable")
+    np.testing.assert_array_equal(np.sort(top_s), np.sort(want[order[:5]]))
+    for s_, i in zip(top_s, top_ids):
+        assert want[i] == s_
