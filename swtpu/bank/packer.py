@@ -80,6 +80,7 @@ def pack_many_vs_one(
     bucket_lens: Sequence[int] = (32, 128, 512, 2048),
     q_width: Optional[int] = None,
     batch_align: int = 1,
+    lens: Optional[np.ndarray] = None,
 ) -> List[PackedBatch]:
     """Pack a database of ragged reads against one query, bucketed by length.
 
@@ -87,13 +88,24 @@ def pack_many_vs_one(
     data/sw-testing.py).  Returns one PackedBatch per non-empty bucket, each
     with `ids` mapping rows back to database read order.
 
+    targets: a sequence of 1-D code arrays, or — the fast dense form — a
+    [n, width] int8 sentinel-padded matrix with `lens` (rows scatter into
+    buckets with one vectorized gather each, no per-read Python).
+
     batch_align pads each bucket's batch up to a multiple (e.g. the kernel
     block size) with sentinel rows; padded rows carry id -1.
     """
-    lens = [len(t) for t in targets]
-    if not lens:
+    dense = lens is not None
+    if dense:
+        tmat = np.asarray(targets)
+        lens_arr = np.asarray(lens, np.int32)
+        n_reads = tmat.shape[0]
+    else:
+        lens_arr = np.array([len(t) for t in targets], np.int32)
+        n_reads = len(lens_arr)
+    if n_reads == 0:
         return []
-    plan = plan_buckets(lens, bucket_lens)
+    plan = plan_buckets(list(lens_arr), bucket_lens)
     qw = q_width or max(8, -(-len(query) // 8) * 8)
     if len(query) > qw:
         raise ValueError(f"query length {len(query)} exceeds q_width {qw}")
@@ -107,11 +119,19 @@ def pack_many_vs_one(
         t = np.full((Bp, width), T_PAD, dtype=np.int8)
         t_lens = np.zeros((Bp,), dtype=np.int32)
         ids = np.full((Bp,), -1, dtype=np.int32)
-        for k, r in enumerate(rows):
-            seq = targets[r]
-            t[k, : len(seq)] = seq
-            t_lens[k] = len(seq)
-            ids[k] = r
+        if dense:
+            # row tails past each read's length are already T_PAD by the
+            # EncodedDB contract, so a plain gather preserves the sentinels
+            w = min(width, tmat.shape[1])
+            t[:B, :w] = tmat[rows, :w]
+            t_lens[:B] = lens_arr[rows]
+            ids[:B] = rows.astype(np.int32)
+        else:
+            for k, r in enumerate(rows):
+                seq = targets[r]
+                t[k, : len(seq)] = seq
+                t_lens[k] = len(seq)
+                ids[k] = r
         q = np.full((Bp, qw), Q_PAD, dtype=np.int8)
         q[:, : len(query)] = np.asarray(query, dtype=np.int8)[None, :]
         q_lens = np.full((Bp,), len(query), dtype=np.int32)

@@ -26,6 +26,22 @@ from swtpu.bank.packer import pack_many_vs_one
 from swtpu.config import SWConfig
 
 
+def _dense_form(targets):
+    """(mat, lens) if `targets` is an EncodedDB or (mat, lens) tuple."""
+    from swtpu.io.loader import EncodedDB
+
+    if isinstance(targets, EncodedDB):
+        return targets.mat, targets.lens
+    if (
+        isinstance(targets, tuple)
+        and len(targets) == 2
+        and isinstance(targets[0], np.ndarray)
+        and targets[0].ndim == 2
+    ):
+        return targets[0], np.asarray(targets[1], np.int32)
+    return None, None
+
+
 @dataclasses.dataclass
 class ScoreResult:
     """Scores for one query against a database, in database read order."""
@@ -100,29 +116,38 @@ class ScoreBank:
     def score_database(
         self,
         query: np.ndarray,
-        targets: Sequence[np.ndarray],
+        targets,
         event_log=None,
     ) -> ScoreResult:
         """Score every target read against `query`; returns read-order scores.
 
+        targets: a sequence of 1-D code arrays, or an
+        :class:`swtpu.io.loader.EncodedDB` (the fast dense form — the whole
+        database stays one int8 matrix, no per-read Python objects).
+
         event_log: optional swtpu.utils.EventLog receiving one structured
         record per dispatched batch (the trace-array/debug.log analog)."""
         cfg = self.config
+        tmat, tlens = _dense_form(targets)
+        n_reads = len(tlens) if tlens is not None else len(targets)
         if self.backend == "stream":
             from swtpu.bank.streams import LANES as STREAM_QCAP
 
             if len(query) <= STREAM_QCAP:
-                return self._score_database_stream(query, targets, event_log)
+                return self._score_database_stream(
+                    query, targets, event_log, tmat=tmat, tlens=tlens
+                )
             # stream pipe holds <=128 query rows; longer queries take the
-            # column kernel (its sublane query dim extends freely)
+            # column kernel (query-tile chaining handles any length)
         t0 = time.perf_counter()
         batches = pack_many_vs_one(
             query,
-            targets,
+            tmat if tlens is not None else targets,
             bucket_lens=cfg.target_buckets,
             q_width=max(8, -(-len(query) // 8) * 8),
+            lens=tlens,
         )
-        scores = np.zeros((len(targets),), dtype=np.int32)
+        scores = np.zeros((n_reads,), dtype=np.int32)
         cells = 0
         padded = 0
         for batch in batches:
@@ -176,7 +201,7 @@ class ScoreBank:
         t0 = time.perf_counter()
         n = len(queries)
         t_plan = plan_buckets([len(t) for t in targets], cfg.target_buckets)
-        q_plan = plan_buckets([len(q) for q in queries], cfg.target_buckets)
+        q_plan = plan_buckets([len(q) for q in queries], cfg.query_buckets)
         scores = np.zeros((n,), dtype=np.int32)
         cells = padded = 0
         groups = {}
@@ -196,13 +221,16 @@ class ScoreBank:
             padded += batch.padded_cells
         return ScoreResult(scores, cells, padded, time.perf_counter() - t0)
 
-    def _score_database_stream(self, query, targets, event_log=None) -> ScoreResult:
+    def _score_database_stream(
+        self, query, targets, event_log=None, tmat=None, tlens=None
+    ) -> ScoreResult:
         """Streamed wavefront path: no length buckets at all — ragged reads
         concatenate back-to-back per stream (the systolic feeder design)."""
         from swtpu.bank.streams import pack_streams, LANES
         from swtpu.ops.pallas_stream import sw_scores_stream
 
         t0 = time.perf_counter()
+        n_reads = len(tlens) if tlens is not None else len(targets)
         # segment short queries 4-per-column (100% wavefront occupancy for
         # the reference's 32nt datasets)
         if len(query) <= LANES // 4:
@@ -213,17 +241,39 @@ class ScoreBank:
             segments = 1
         # logical streams = physical lane columns x segments
         phys = max(128, self.config.block_pairs // 4) if not self._interpret else 8
-        batch = pack_streams(
-            query, targets, n_streams=phys * segments, segments=segments
-        )
-        scores = np.asarray(
-            sw_scores_stream(
-                batch.q, batch.stream,
-                batch.emit_stream, batch.emit_step.astype(np.int32),
-                self.config.penalties, interpret=self._interpret,
-                segments=segments,
+        if tlens is not None:
+            batch = pack_streams(
+                query, tmat, n_streams=phys * segments, segments=segments,
+                lens=tlens,
             )
-        )
+        else:
+            batch = pack_streams(
+                query, targets, n_streams=phys * segments, segments=segments
+            )
+        if self.config.wire_2bit and not self._interpret:
+            # ship the stream at 2.5 bits/char and expand on device — the
+            # reference's 4-bases/byte transfer economy (aligner_Header.c:30-41)
+            from swtpu.bank.streams import pack_stream_wire
+            from swtpu.ops.pallas_stream import sw_scores_stream_packed
+
+            codes, flags = pack_stream_wire(batch.stream)
+            scores = np.asarray(
+                sw_scores_stream_packed(
+                    batch.q, codes, flags,
+                    batch.emit_stream, batch.emit_step.astype(np.int32),
+                    self.config.penalties, interpret=self._interpret,
+                    segments=segments,
+                )
+            )
+        else:
+            scores = np.asarray(
+                sw_scores_stream(
+                    batch.q, batch.stream,
+                    batch.emit_stream, batch.emit_step.astype(np.int32),
+                    self.config.penalties, interpret=self._interpret,
+                    segments=segments,
+                )
+            )
         elapsed = time.perf_counter() - t0
         padded = batch.stream.shape[0] * batch.stream.shape[1] * LANES
         if event_log is not None:
@@ -232,7 +282,7 @@ class ScoreBank:
             event_log.emit(
                 BatchEvent(
                     "stream", t_wall=time.time(), elapsed_s=elapsed,
-                    reads=len(targets), cells=batch.cells,
+                    reads=n_reads, cells=batch.cells,
                     padded_cells=padded,
                     note=f"streams={batch.stream.shape[0]} T={batch.stream.shape[1]}",
                 )

@@ -24,18 +24,26 @@ from typing import List, Optional
 
 
 def _load(query_path: str, library_path: str):
-    from swtpu.io import encode_seq, read_fasta, read_query_and_db
+    """Load query + library through the dense native pipeline (the analog of
+    the C host's read_sequences+charTo2bit, main_test.c:290-314): the library
+    stays one int8 matrix end-to-end, no per-read Python objects."""
+    import numpy as np
 
-    qrecs = read_fasta(query_path)
-    queries = [r for r in qrecs if r.name.startswith("query")] or qrecs
-    query = encode_seq(queries[0].seq)
-    _, db = read_query_and_db(library_path)
-    if not db:
-        # library without >dbK naming: treat every record as a read
-        db = read_fasta(library_path)
-    names = [r.name for r in db]
-    targets = [encode_seq(r.seq) for r in db]
-    return query, names, targets
+    from swtpu.io.loader import EncodedDB, load_encoded
+
+    qdb = load_encoded(query_path)
+    qidx = [i for i, nm in enumerate(qdb.names) if nm.startswith("query")] or [0]
+    query = qdb.read(qidx[0]).copy()
+    lib = load_encoded(library_path)
+    rows = [i for i, nm in enumerate(lib.names) if not nm.startswith("query")]
+    if len(rows) == len(lib.names):
+        db = lib  # no >query record to exclude
+    else:
+        sel = np.asarray(rows, dtype=np.int64)
+        db = EncodedDB(
+            [lib.names[i] for i in rows], lib.mat[sel], lib.lens[sel]
+        )
+    return query, db.names, db
 
 
 def _emit(out, names, scores, t_start):
@@ -93,6 +101,8 @@ def cmd_score(args) -> int:
                 raise box["err"]
             if "res" not in box:
                 print(f"# TIMEOUT after {args.timeout}s", file=sys.stderr)
+                if event_log is not None:
+                    event_log.close()
                 return 16  # mirrors the reference's timeout error path
             res = box["res"]
         else:
@@ -191,10 +201,10 @@ def cmd_events(args) -> int:
     tot_cells = tot_reads = 0
     tot_s = 0.0
     for e in events:
+        pad_eff = f"{e.cells/e.padded_cells:6.1%}" if e.padded_cells else "   n/a"
         print(
             f"{e.t_wall:14.3f} {e.kind:>8} reads={e.reads:<8} "
-            f"cells={e.cells:<12} pad_eff="
-            f"{e.cells/max(e.padded_cells,1):6.1%} "
+            f"cells={e.cells:<12} pad_eff={pad_eff} "
             f"{e.elapsed_s*1e3:9.2f} ms {e.gcups:8.2f} GCUPS {e.note}"
         )
         tot_cells += e.cells
@@ -245,7 +255,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     ps.add_argument("-q", "--query", required=True)
     ps.add_argument("-l", "--library", required=True)
     ps.add_argument("-o", "--output")
-    ps.add_argument("-t", "--timeout", type=int, default=0, help="accepted for main_test.c parity; unused")
+    ps.add_argument(
+        "-t", "--timeout", type=int, default=0,
+        help="hard job deadline in seconds; exit 16 on expiry "
+        "(main_test.c's WED-poll timeout, main_test.c:434-445). 0 = none",
+    )
     ps.add_argument("--topk", type=int, default=0)
     ps.add_argument("--backend", default="auto", choices=["auto", "scan", "pallas", "stream"])
     ps.add_argument("--events", help="write per-batch JSONL event log here")

@@ -73,9 +73,16 @@ class SWConfig:
     penalties: Penalties = DEFAULT_PENALTIES
     max_query_len: int = 128
     target_buckets: Sequence[int] = (32, 128, 512, 2048)
+    # queries get their own bucket ladder (score_pairs groups by both); the
+    # top rung matches LEN_WIDTH=12 -> 4095-base intent (ScoreBank_v2.v:14-15)
+    query_buckets: Sequence[int] = (32, 128, 512, 2048, 4096)
     block_pairs: int = 1024
     score_dtype: str = "int32"
     mesh_shape: Optional[Tuple[int, ...]] = None
     mesh_axes: Tuple[str, ...] = ("data",)
     seed: int = 0
     strict_n_parity: bool = True
+    # ship stream batches host->device 2-bit packed (4 bases/byte + flag
+    # bitmap), expanding on device — the reference's transfer packing
+    # (aligner_Header.c:30-41); cuts H2D 3.2x on tunnel-limited links
+    wire_2bit: bool = True

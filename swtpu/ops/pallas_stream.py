@@ -203,7 +203,7 @@ def _strip_call(
         + [pltpu.VMEM((LANES, S), jnp.int32)]
         + ([pltpu.VMEM((8, S), dt)] if tail_acc else []),
         cost_estimate=pl.CostEstimate(
-            flops=30 * S * LANES * T, bytes_accessed=(S * T) * 5, transcendentals=0
+            flops=24 * S * LANES * T, bytes_accessed=(S * T) * 5, transcendentals=0
         ),
         # the wavefront state in scratch carries across grid steps: the grid
         # MUST execute sequentially, never be parallelized
@@ -228,8 +228,9 @@ def _to_kernel_layout(q, stream, segments):
 def _validate(q, stream, segments, interpret):
     N, qcap = q.shape
     T = stream.shape[1]
-    if LANES % segments:
-        raise ValueError(f"segments {segments} must divide {LANES}")
+    if LANES % segments or segments > 8:
+        # the (8, S) tail-accumulator scratch holds one row per segment
+        raise ValueError(f"segments {segments} must divide {LANES} and be <= 8")
     if qcap != LANES // segments:
         raise ValueError(
             f"q width {qcap} != {LANES}//segments ({LANES // segments})"
@@ -282,6 +283,50 @@ def sw_scores_stream_strip(
         state_dtype=state_dtype, tail_acc=tail_acc,
     )
     return out.T
+
+
+def unpack_stream_wire(codes: jnp.ndarray, flags: jnp.ndarray) -> jnp.ndarray:
+    """Device-side inverse of swtpu.bank.streams.pack_stream_wire: expand
+    4-bases/byte codes + 8-flags/byte bitmap back to the [N, T] int8 flagged
+    char stream.  Runs as a cheap one-shot VPU pass before the kernel (the
+    analog of the AFU's on-chip 2-bit unpack as it shifts bases into the
+    array, capi_sample_aligner/hdl-verliog/afu.v:408)."""
+    N, nb = codes.shape
+    c = codes[:, :, None]
+    shifts2 = (jnp.arange(4, dtype=jnp.uint8) * 2)[None, None, :]
+    chars = ((c >> shifts2) & 3).reshape(N, nb * 4)
+    f = flags[:, :, None]
+    shifts1 = jnp.arange(8, dtype=jnp.uint8)[None, None, :]
+    fbits = ((f >> shifts1) & 1).reshape(N, flags.shape[1] * 8)
+    return (chars | (fbits << 3)).astype(jnp.int8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "penalties", "interpret", "segments", "state_dtype", "tail_acc"
+    ),
+)
+def sw_scores_stream_packed(
+    q: jnp.ndarray,
+    codes: jnp.ndarray,
+    flags: jnp.ndarray,
+    emit_stream: jnp.ndarray,
+    emit_step: jnp.ndarray,
+    penalties: Penalties = DEFAULT_PENALTIES,
+    interpret: bool = False,
+    segments: int = 1,
+    state_dtype: str = "int32",
+    tail_acc: bool = True,
+) -> jnp.ndarray:
+    """sw_scores_stream on the 2-bit wire format: the stream crosses H2D at
+    2.5 bits/char (pack_stream_wire) and expands on device."""
+    stream = unpack_stream_wire(codes, flags)
+    return sw_scores_stream(
+        q, stream, emit_stream, emit_step, penalties=penalties,
+        interpret=interpret, segments=segments, state_dtype=state_dtype,
+        tail_acc=tail_acc,
+    )
 
 
 @functools.partial(

@@ -78,6 +78,15 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.swtpu_pack_2bit.argtypes = [i8p, ctypes.c_int64, u8p]
     lib.swtpu_unpack_2bit.restype = None
     lib.swtpu_unpack_2bit.argtypes = [u8p, ctypes.c_int64, i8p]
+    lib.swtpu_plan_streams.restype = ctypes.c_int64
+    lib.swtpu_plan_streams.argtypes = [
+        i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i32p, i64p,
+    ]
+    lib.swtpu_fill_streams.restype = None
+    lib.swtpu_fill_streams.argtypes = [
+        i8p, i32p, ctypes.c_int64, ctypes.c_int64, i32p, i64p,
+        ctypes.c_int64, ctypes.c_int8, i8p, ctypes.c_int64,
+    ]
 
 
 def native_available() -> bool:
@@ -150,6 +159,43 @@ class NativePacker:
             _as(ids, ctypes.c_int32), _as(out_lens, ctypes.c_int32), max_rows,
         )
         return dst, ids, out_lens, int(n)
+
+    def plan_streams(
+        self, lens: np.ndarray, n_streams: int, drain: int
+    ) -> Tuple[np.ndarray, np.ndarray, int]:
+        """Greedy shortest-stream assignment (the PrioEncoder dispatch,
+        ScoreBank/PrioEncoder.v:16-22) for a ragged read set.
+
+        Returns (emit_stream [n] int32, emit_step [n] int64, max_fill)."""
+        lens = np.ascontiguousarray(lens, np.int32)
+        n = len(lens)
+        emit_stream = np.zeros(n, np.int32)
+        emit_step = np.zeros(n, np.int64)
+        max_fill = self._lib.swtpu_plan_streams(
+            _as(lens, ctypes.c_int32), n, n_streams, drain,
+            _as(emit_stream, ctypes.c_int32), _as(emit_step, ctypes.c_int64),
+        )
+        return emit_stream, emit_step, int(max_fill)
+
+    def fill_streams(
+        self, src: np.ndarray, lens: np.ndarray, emit_stream: np.ndarray,
+        emit_step: np.ndarray, drain: int, flag_bit: int, T: int,
+        n_streams: int, pad_code: int,
+    ) -> np.ndarray:
+        """Scatter dense reads into their planned stream slots; returns the
+        [n_streams, T] int8 stream matrix (pad-prefilled, flags OR-ed)."""
+        src = np.ascontiguousarray(src, np.int8)
+        lens = np.ascontiguousarray(lens, np.int32)
+        emit_stream = np.ascontiguousarray(emit_stream, np.int32)
+        emit_step = np.ascontiguousarray(emit_step, np.int64)
+        stream = np.full((n_streams, T), pad_code, np.int8)
+        self._lib.swtpu_fill_streams(
+            _as(src, ctypes.c_int8), _as(lens, ctypes.c_int32),
+            src.shape[0], src.shape[1],
+            _as(emit_stream, ctypes.c_int32), _as(emit_step, ctypes.c_int64),
+            drain, flag_bit, _as(stream, ctypes.c_int8), T,
+        )
+        return stream
 
     def pack_2bit(self, codes: np.ndarray) -> np.ndarray:
         codes = np.ascontiguousarray(codes, np.int8)

@@ -128,6 +128,69 @@ int64_t swtpu_pack_bucket(const int8_t* src, const int32_t* lens,
   return w;
 }
 
+// Greedy shortest-stream planning for the wavefront feeder lanes: read r
+// goes to the stream with the smallest fill (ties -> lowest index), exactly
+// matching swtpu.bank.streams.pack_streams's np.argmin greedy — the
+// priority-encoder dispatch (ScoreBank/PrioEncoder.v:16-22) in host code.
+// Uses a binary heap of (fill, stream) pairs: O(n log S) instead of the
+// Python loop's O(n S).  Returns the maximum fill across streams.
+// emit_step[r] = fill_at_assign + len - 1 + drain, or -1 for empty reads.
+int64_t swtpu_plan_streams(const int32_t* lens, int64_t n_reads, int64_t S,
+                           int64_t drain, int32_t* emit_stream,
+                           int64_t* emit_step) {
+  struct Slot { int64_t fill; int64_t idx; };
+  Slot* heap = new Slot[S];
+  for (int64_t s = 0; s < S; ++s) heap[s] = {0, s};  // already a valid heap
+  auto less = [](const Slot& a, const Slot& b) {
+    return a.fill != b.fill ? a.fill < b.fill : a.idx < b.idx;
+  };
+  auto sift_down = [&](int64_t i) {
+    for (;;) {
+      int64_t l = 2 * i + 1, r = 2 * i + 2, m = i;
+      if (l < S && less(heap[l], heap[m])) m = l;
+      if (r < S && less(heap[r], heap[m])) m = r;
+      if (m == i) break;
+      Slot tmp = heap[i]; heap[i] = heap[m]; heap[m] = tmp;
+      i = m;
+    }
+  };
+  for (int64_t r = 0; r < n_reads; ++r) {
+    int64_t len = lens[r];
+    if (len == 0) {
+      emit_stream[r] = 0;
+      emit_step[r] = -1;  // zero-length read: score 0 by definition
+      continue;
+    }
+    Slot& top = heap[0];
+    emit_stream[r] = (int32_t)top.idx;
+    emit_step[r] = top.fill + len - 1 + drain;
+    top.fill += len;
+    sift_down(0);
+  }
+  int64_t max_fill = 0;
+  for (int64_t s = 0; s < S; ++s)
+    if (heap[s].fill > max_fill) max_fill = heap[s].fill;
+  delete[] heap;
+  return max_fill;
+}
+
+// Copy reads into their planned stream slots (stream prefilled with the pad
+// char by the caller), OR-ing the first-char flag bit.
+void swtpu_fill_streams(const int8_t* src, const int32_t* lens,
+                        int64_t n_reads, int64_t src_width,
+                        const int32_t* emit_stream, const int64_t* emit_step,
+                        int64_t drain, int8_t flag_bit, int8_t* stream,
+                        int64_t T) {
+  for (int64_t r = 0; r < n_reads; ++r) {
+    int64_t len = lens[r];
+    if (len == 0 || emit_step[r] < 0) continue;
+    int64_t start = emit_step[r] - drain - (len - 1);
+    int8_t* dst = stream + emit_stream[r] * T + start;
+    memcpy(dst, src + r * src_width, (size_t)len);
+    dst[0] = (int8_t)(dst[0] | flag_bit);
+  }
+}
+
 // 4-bases-per-byte LSB-first packing (aligner_Header.c:30-41) for
 // host<->host transfer economy.
 void swtpu_pack_2bit(const int8_t* codes, int64_t n, uint8_t* out) {

@@ -92,3 +92,39 @@ def test_stream_backend_long_query_fallback():
     bank = ScoreBank(SWConfig(target_buckets=(32, 128)), backend="stream", interpret=INTERPRET)
     res = bank.score_database(query, targets)
     np.testing.assert_array_equal(res.scores, want)
+
+
+def test_stream_wire_roundtrip_and_parity():
+    # 2-bit wire format: pack_stream_wire -> device unpack -> same scores
+    from swtpu.bank.streams import pack_stream_wire, pack_streams
+    from swtpu.ops.pallas_stream import (
+        sw_scores_stream, sw_scores_stream_packed, unpack_stream_wire,
+    )
+
+    rng = np.random.default_rng(55)
+    targets = _targets(rng, 18, lo=3, hi=60)
+    query = rng.integers(0, 4, size=23).astype(np.int8)
+    want = score_many_vs_one(query, targets)
+    b = pack_streams(query, targets, n_streams=8)
+    codes, flags = pack_stream_wire(b.stream)
+    # wire is 2.5 bits/char
+    assert codes.nbytes + flags.nbytes == b.stream.nbytes // 4 + b.stream.nbytes // 8
+    # unpack preserves codes+flags (pads lose identity, which is score-safe)
+    un = np.asarray(unpack_stream_wire(codes, flags))
+    real = b.stream != 4  # non-pad chars survive exactly
+    np.testing.assert_array_equal(un[real], b.stream[real])
+    got = np.asarray(
+        sw_scores_stream_packed(
+            b.q, codes, flags, b.emit_stream, b.emit_step.astype(np.int32),
+            interpret=INTERPRET,
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+    # and matches the unpacked kernel bit-for-bit
+    got_ref = np.asarray(
+        sw_scores_stream(
+            b.q, b.stream, b.emit_stream, b.emit_step.astype(np.int32),
+            interpret=INTERPRET,
+        )
+    )
+    np.testing.assert_array_equal(got, got_ref)
