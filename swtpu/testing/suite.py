@@ -30,7 +30,13 @@ DEFAULT_SUITE: Dict[str, Any] = {
         {"reads": 40, "min_len": 5, "max_len": 200, "query_len": 31},
         {"reads": 15, "min_len": 1, "max_len": 32, "query_len": 8},
     ],
-    "tests": ["oracle_parity", "faulted_scheduling", "resume", "topk_merge"],
+    "tests": [
+        "oracle_parity",
+        "faulted_scheduling",
+        "corruption_inject",
+        "resume",
+        "topk_merge",
+    ],
     "multihost": {"enabled": False, "nprocs": 2},
 }
 
@@ -91,6 +97,30 @@ def run_suite(
                 np.array_equal(scores, want),
                 f"drops={inj.injected_drops} reorders={inj.injected_reorders}",
             )
+
+        if "corruption_inject" in cfg["tests"]:
+            # parity_inject.c analog: corrupt a packed batch / a result and
+            # prove verify_integrity rejects it in situ (and that without
+            # guards the corruption would pass silently — the reason parity
+            # exists)
+            from swtpu.bank import ScoreBank as _SB
+            from swtpu.utils.guards import IntegrityError
+
+            vbank = _SB(bank.config, backend="scan", verify_integrity=True)
+            ok = True
+            detail = []
+            for kind in ("codes", "scores"):
+                fc = FaultConfig(
+                    seed=cfg["seed"] + di, corrupt_percent=100,
+                    corrupt_kind=kind,
+                )
+                try:
+                    score_database_with_faults(vbank, query, targets, fc)
+                    ok = False
+                    detail.append(f"{kind}: NOT caught")
+                except IntegrityError:
+                    detail.append(f"{kind}: caught")
+            record("corruption_inject", ok, "; ".join(detail))
 
         if "resume" in cfg["tests"]:
             import tempfile

@@ -59,3 +59,37 @@ def test_checksum_stable():
     assert checksum(a) == checksum(a.copy())
     b = a.copy(); b[3] += 1
     assert checksum(a) != checksum(b)
+
+
+def test_corruption_injection_end_to_end():
+    """parity_inject.c analog (pslse-master/test/tests/parity_inject.c):
+    corruption injected between pack and dispatch (codes) or score and
+    scatter (scores) must be rejected in situ by verify_integrity."""
+    import pytest
+
+    from swtpu.bank import ScoreBank
+    from swtpu.config import SWConfig
+    from swtpu.testing.faults import FaultConfig, score_database_with_faults
+    from swtpu.utils.guards import IntegrityError
+
+    rng = np.random.default_rng(3)
+    targets = [
+        rng.integers(0, 4, size=rng.integers(4, 40)).astype(np.int8)
+        for _ in range(12)
+    ]
+    query = rng.integers(0, 4, size=16).astype(np.int8)
+    bank = ScoreBank(
+        SWConfig(target_buckets=(32, 64)), backend="scan",
+        verify_integrity=True,
+    )
+    for kind in ("codes", "scores"):
+        fc = FaultConfig(seed=7, corrupt_percent=100, corrupt_kind=kind)
+        with pytest.raises(IntegrityError):
+            score_database_with_faults(bank, query, targets, fc)
+    # control: same pipeline, no corruption -> exact scores
+    from swtpu.oracle import score_many_vs_one
+
+    fc = FaultConfig(seed=7, corrupt_percent=0)
+    scores, inj = score_database_with_faults(bank, query, targets, fc)
+    np.testing.assert_array_equal(scores, score_many_vs_one(query, targets))
+    assert inj.injected_corruptions == 0
