@@ -22,7 +22,21 @@ import numpy as np
 
 
 def main():
+    import os
+
     import jax
+
+    # jax is pre-imported at interpreter start on this box, so platform
+    # selection must use config, not env vars (see tests/conftest.py);
+    # honor the documented XLA_FLAGS/JAX_PLATFORMS invocation here
+    if "cpu" in os.environ.get("JAX_PLATFORMS", "").lower() or (
+        "xla_force_host_platform_device_count" in os.environ.get("XLA_FLAGS", "")
+    ):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+            jax.config.update("jax_platform_name", "cpu")
+        except Exception:
+            pass
 
     from bench import _enable_compile_cache
 
@@ -34,27 +48,54 @@ def main():
         #   XLA_FLAGS=--xla_force_host_platform_device_count=8
         print("# warning: single device; scaling table will be trivial", file=sys.stderr)
 
-    from swtpu.parallel import make_mesh, make_sharded_scorer
+    import os
+
+    from swtpu.bank.streams import pack_streams_sharded
+    from swtpu.parallel import (
+        make_mesh, make_sharded_scorer, make_sharded_stream_scorer,
+    )
 
     rng = np.random.default_rng(0)
     m = n = 128
-    per_dev = 2048 if jax.default_backend() == "tpu" else 256
+    on_tpu = jax.default_backend() == "tpu"
+    per_dev = 2048 if on_tpu else 256
     devs = len(jax.devices())
     sizes = [s for s in (1, 2, 4, 8, 16, 32) if s <= devs]
-    backend = "pallas" if jax.default_backend() == "tpu" else "scan"
+    # the headline wavefront kernel is the multi-chip kernel; set
+    # SWTPU_SCALING_BACKEND=column/scan to measure the bucketed path instead
+    backend = os.environ.get(
+        "SWTPU_SCALING_BACKEND", "stream" if on_tpu or devs > 1 else "scan"
+    )
 
     results = {}
     for nd in sizes:
         mesh = make_mesh(nd)
-        scorer = make_sharded_scorer(mesh, backend=backend)
         B = per_dev * nd
         q = rng.integers(0, 4, size=(B, m)).astype(np.int8)
         t = rng.integers(0, 4, size=(B, n)).astype(np.int8)
-        _ = np.asarray(scorer(q, t))  # compile + warm
+        if backend == "stream":
+            batch = pack_streams_sharded(
+                q[0], list(t), n_shards=nd,
+                n_streams=256 if on_tpu else 8,
+            )
+            scorer = make_sharded_stream_scorer(
+                mesh, interpret=not on_tpu, k=4
+            )
+            args = (
+                batch.q, batch.stream, batch.emit_stream,
+                batch.emit_step.astype(np.int32), batch.ids,
+            )
+            run = lambda: np.asarray(scorer(*args)[0])
+        else:
+            scorer = make_sharded_scorer(
+                mesh, backend="pallas" if on_tpu else "scan"
+            )
+            run = lambda: np.asarray(scorer(q, t))
+        run()  # compile + warm
         best = 1e9
         for _ in range(3):
             t0 = time.time()
-            _ = np.asarray(scorer(q, t))
+            run()
             best = min(best, time.time() - t0)
         rps = B / best
         results[nd] = rps
