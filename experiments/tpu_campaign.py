@@ -34,6 +34,18 @@ QUEUES = {
         (["experiments/kernel_ablate.py", "512", "float32"], 560),
         (["experiments/kernel_ablate.py", "1024", "int32"], 560),
     ],
+    # multi-row wavefront: rolls amortized by R (the round-2 perf lever)
+    "rows": [
+        (["experiments/tpu_step.py", "parity_r2"], 560),
+        (["experiments/tpu_step.py", "parity_r8"], 560),
+        (["experiments/tpu_step.py", "parity_r4_seg4"], 560),
+        (["experiments/tpu_step.py", "chain_stream_r2"], 560),
+        (["experiments/tpu_step.py", "chain_stream_r4"], 560),
+        (["experiments/tpu_step.py", "chain_stream_r8"], 560),
+        (["experiments/tpu_step.py", "chain_stream_r16"], 560),
+        (["experiments/tpu_step.py", "chain_stream_r8_f32"], 560),
+        (["experiments/tpu_step.py", "chain_stream_r8_s1024"], 560),
+    ],
 }
 
 

@@ -61,6 +61,35 @@ def parity():
         log("PARITY OK")
 
 
+def _parity_rows(rows, segments=1, S=128):
+    """Compiled-TPU parity of the multi-row kernel vs the numpy oracle."""
+    from swtpu.bank.streams import gather_stream_scores, pack_streams
+    from swtpu.ops.pallas_stream import sw_scores_stream_strip
+    from swtpu.oracle import score_many_vs_one
+
+    rng = np.random.default_rng(rows * 100 + segments)
+    targets = [
+        rng.integers(0, 4, size=rng.integers(3, 90)).astype(np.int8)
+        for _ in range(40)
+    ]
+    qlen = min(128 // segments, 128) - 3
+    query = rng.integers(0, 4, size=qlen).astype(np.int8)
+    want = score_many_vs_one(query, targets)
+    b = pack_streams(query, targets, n_streams=S * segments,
+                     segments=segments, rows=rows)
+    log(f"rows={rows} seg={segments} T={b.stream.shape[1]} compiling/running...")
+    strip = np.asarray(
+        sw_scores_stream_strip(b.q, b.stream, segments=segments, rows=rows)
+    )
+    got = gather_stream_scores(strip, b)
+    bad = np.nonzero(got != want)[0]
+    log(f"parity rows={rows} seg={segments}: {len(bad)} mismatches / {len(targets)}")
+    for i in bad[:5]:
+        log(f"  read {i}: want {want[i]} got {got[i]} len={len(targets[i])}")
+    if len(bad) == 0:
+        log("PARITY OK")
+
+
 def _stream_bench(S):
     from swtpu.bank.streams import pack_streams
     from swtpu.ops.pallas_stream import sw_scores_stream
@@ -103,7 +132,7 @@ def _col_bench(state_dtype):
     log(f"column {state_dtype}: -> {g:.1f} GCUPS")
 
 
-def _chain_stream(S=256, ks=(1, 11), state_dtype="int32"):
+def _chain_stream(S=256, ks=(1, 11), state_dtype="int32", rows=1):
     """Robust timing: k *data-dependent* kernel calls inside one jit, so
     per-kernel device time = (T[k2]-T[k1])/(k2-k1) with every fixed cost
     (dispatch, transfers, tunnel jitter) cancelled."""
@@ -122,8 +151,8 @@ def _chain_stream(S=256, ks=(1, 11), state_dtype="int32"):
     qh = rng.integers(0, 4, (B, m)).astype(np.int8)
     th = rng.integers(0, 4, (B, n)).astype(np.int8)
     targets = list(th)
-    big = pack_streams(qh[0], targets, n_streams=S)
-    qk, sk = _to_kernel_layout(big.q, big.stream, 1)
+    big = pack_streams(qh[0], targets, n_streams=S, rows=rows)
+    qk, sk = _to_kernel_layout(big.q, big.stream, 1, rows)
     dq, ds_ = jax.device_put(qk), jax.device_put(sk)
     ma, mi, go, ge = pen.astuple()
     cells = B * m * n
@@ -134,7 +163,7 @@ def _chain_stream(S=256, ks=(1, 11), state_dtype="int32"):
         s_in = sk
         for _ in range(k):
             strip = _strip_call(qk, s_in, ma, mi, go, ge, False,
-                                state_dtype=state_dtype)
+                                state_dtype=state_dtype, rows=rows)
             v = strip[-1, 0]  # data-dependent scalar
             acc = acc + v
             # force next call to depend on this result without changing data
@@ -153,7 +182,7 @@ def _chain_stream(S=256, ks=(1, 11), state_dtype="int32"):
         log(f"chain k={k}: {best*1e3:.1f} ms")
     k1, k2 = ks
     per = (times[k2] - times[k1]) / (k2 - k1)
-    log(f"stream S={S} {state_dtype} chained: {per*1e3:.2f} ms/kernel"
+    log(f"stream S={S} {state_dtype} rows={rows} chained: {per*1e3:.2f} ms/kernel"
         f" -> {cells/per/1e9:.1f} GCUPS")
 
 
@@ -210,6 +239,15 @@ STEPS = {
     "chain_stream_f32": lambda: _chain_stream(256, state_dtype="float32"),
     "chain_stream_s512": lambda: _chain_stream(512),
     "chain_stream_s512_f32": lambda: _chain_stream(512, state_dtype="float32"),
+    "parity_r2": lambda: _parity_rows(2),
+    "parity_r8": lambda: _parity_rows(8),
+    "parity_r4_seg4": lambda: _parity_rows(4, segments=4),
+    "chain_stream_r2": lambda: _chain_stream(512, rows=2),
+    "chain_stream_r4": lambda: _chain_stream(512, rows=4),
+    "chain_stream_r8": lambda: _chain_stream(512, rows=8),
+    "chain_stream_r16": lambda: _chain_stream(512, rows=16),
+    "chain_stream_r8_f32": lambda: _chain_stream(512, rows=8, state_dtype="float32"),
+    "chain_stream_r8_s1024": lambda: _chain_stream(1024, rows=8),
     "chain_col": lambda: _chain_col("int32"),
     "chain_col_i16": lambda: _chain_col("int16"),
     "chain_col_f32": lambda: _chain_col("float32"),

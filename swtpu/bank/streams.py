@@ -42,6 +42,7 @@ class StreamBatch:
     emit_step: np.ndarray
     cells: int
     segments: int = 1
+    rows: int = 1  # query rows folded per sublane (multi-row kernel)
 
     @property
     def total_steps(self) -> int:
@@ -54,6 +55,7 @@ def pack_streams(
     n_streams: int = 256,
     segments: int = 1,
     lens: Optional[np.ndarray] = None,
+    rows: int = 1,
 ) -> StreamBatch:
     """Assign reads to streams (greedy shortest-stream), concatenate with
     flags, compute emission coordinates.
@@ -64,9 +66,13 @@ def pack_streams(
     native C++ plan/fill path when the toolchain is available.
 
     segments: queries per lane column in the kernel (1/2/4).  Short queries
-    (<= 128//segments bases) at segments=4 quadruple wavefront utilization."""
+    (<= 128//segments bases) at segments=4 quadruple wavefront utilization.
+
+    rows: query rows folded per sublane (the multi-row kernel); query
+    capacity is unchanged, the emission drain shrinks to
+    128//(rows*segments) - 1."""
     qcap = LANES // segments
-    drain = qcap - 1
+    drain = LANES // (rows * segments) - 1
     if len(query) > qcap:
         raise ValueError(
             f"query of {len(query)} bases exceeds capacity {qcap} at "
@@ -78,7 +84,7 @@ def pack_streams(
             raise ValueError("lens requires a dense [n, width] target matrix")
         return _pack_streams_dense(
             query, tmat.astype(np.int8, copy=False),
-            np.asarray(lens, np.int32), n_streams, segments,
+            np.asarray(lens, np.int32), n_streams, segments, rows,
         )
     n_reads = len(targets)
     S = n_streams
@@ -96,7 +102,9 @@ def pack_streams(
             if len(lens) == 1:
                 tmat = np.stack(targets)
         if tmat is not None and tmat.ndim == 2:
-            return _pack_streams_equal(query, tmat.astype(np.int8), S, segments)
+            return _pack_streams_equal(
+                query, tmat.astype(np.int8), S, segments, rows
+            )
     chunks: List[List[np.ndarray]] = [[] for _ in range(S)]
     fill = np.zeros(S, dtype=np.int64)
     emit_stream = np.zeros(n_reads, dtype=np.int32)
@@ -129,12 +137,12 @@ def pack_streams(
 
     q = np.full((S, qcap), Q_PAD, dtype=np.int8)
     q[:, : len(query)] = np.asarray(query, dtype=np.int8)[None, :]
-    return StreamBatch(q, stream, emit_stream, emit_step, cells, segments)
+    return StreamBatch(q, stream, emit_stream, emit_step, cells, segments, rows)
 
 
 def _pack_streams_dense(
     query: np.ndarray, tmat: np.ndarray, lens: np.ndarray, S: int,
-    segments: int,
+    segments: int, rows: int = 1,
 ) -> StreamBatch:
     """Ragged dense-matrix packing via the native C++ plan/fill pipeline
     (swtpu_native.cpp); pure-Python greedy fallback if the toolchain is
@@ -142,7 +150,7 @@ def _pack_streams_dense(
     from swtpu.ops.pallas_stream import STEP_CHUNK
 
     qcap = LANES // segments
-    drain = qcap - 1
+    drain = LANES // (rows * segments) - 1
     n_reads = tmat.shape[0]
     try:
         from swtpu.runtime.native import NativePacker, native_available
@@ -162,21 +170,22 @@ def _pack_streams_dense(
             [tmat[i, : lens[i]] for i in range(n_reads)],
             n_streams=S,
             segments=segments,
+            rows=rows,
         )
     q = np.full((S, qcap), Q_PAD, dtype=np.int8)
     q[:, : len(query)] = np.asarray(query, dtype=np.int8)[None, :]
     cells = int(len(query)) * int(lens.astype(np.int64).sum())
-    return StreamBatch(q, stream, emit_stream, emit_step, cells, segments)
+    return StreamBatch(q, stream, emit_stream, emit_step, cells, segments, rows)
 
 
 def _pack_streams_equal(
-    query: np.ndarray, tmat: np.ndarray, S: int, segments: int
+    query: np.ndarray, tmat: np.ndarray, S: int, segments: int, rows: int = 1
 ) -> StreamBatch:
     """Vectorized round-robin packing of a [B, n] equal-length read matrix."""
     from swtpu.ops.pallas_stream import STEP_CHUNK
 
     qcap = LANES // segments
-    drain = qcap - 1
+    drain = LANES // (rows * segments) - 1
     B, n = tmat.shape
     per = B // S  # reads per stream
     flagged = tmat.copy()
@@ -192,7 +201,7 @@ def _pack_streams_equal(
     q = np.full((S, qcap), Q_PAD, dtype=np.int8)
     q[:, : len(query)] = np.asarray(query, dtype=np.int8)[None, :]
     return StreamBatch(
-        q, stream, emit_stream, emit_step, len(query) * B * n, segments
+        q, stream, emit_stream, emit_step, len(query) * B * n, segments, rows
     )
 
 
@@ -307,16 +316,18 @@ def score_streams(
     penalties=None,
     interpret: bool = False,
     segments: int = 1,
+    rows: int = 1,
 ) -> np.ndarray:
     """End-to-end streamed scoring: pack -> wavefront kernel -> gather."""
     from swtpu.config import DEFAULT_PENALTIES
     from swtpu.ops.pallas_stream import sw_scores_stream_strip
 
     pen = penalties or DEFAULT_PENALTIES
-    batch = pack_streams(query, targets, n_streams, segments=segments)
+    batch = pack_streams(query, targets, n_streams, segments=segments, rows=rows)
     strip = np.asarray(
         sw_scores_stream_strip(
-            batch.q, batch.stream, pen, interpret=interpret, segments=segments
+            batch.q, batch.stream, pen, interpret=interpret,
+            segments=segments, rows=rows,
         )
     )
     return gather_stream_scores(strip, batch)

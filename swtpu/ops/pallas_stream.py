@@ -172,36 +172,175 @@ def _stream_kernel(
             ap[g, :] = acc[g]
 
 
+def _stream_kernel_mr(
+    q_ref, s_ref, out_ref, gp, d1p, d2p, hp, cp, ap, *, ma, mi, go, ge,
+    seg, R, dt=None,
+):
+    """Multi-row wavefront: R consecutive query rows fold into each sublane
+    row (sublane k, sub-row r  <->  query row k*R + r), so the intra-step
+    chain r-1 -> r stays IN PLACE and only the r = R-1 -> 0 handoff crosses
+    sublanes.  Sublane rolls — measured at >half the kernel's step time
+    (experiments/kernel_ablate.py) — shrink by R: 3 rolls on (128/R, S)
+    planes per step instead of 4 on (128, S).  Boundary selects also apply
+    only to sub-row 0 (segment heads are always sub-row 0 rows).
+
+    This is the TPU form of folding multiple PEs into one (the chaining /
+    folded-array idea the reference reserved ports for,
+    ScoreBank/ScoringModule_v1.1.v:36-54) — same recurrence, same emission
+    contract, drain = 128/(R*seg) - 1 steps.
+    """
+    S = q_ref.shape[1]
+    chunk = s_ref.shape[0]
+    SL = LANES // R  # physical sublane rows
+    SLg = SL // seg  # sublanes per segment
+    dt = dt or jnp.int32
+    zero = jnp.array(0, dt)
+    c = pl.program_id(0)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (SL, 1), 0)
+    seghead = row_iota % SLg == 0
+
+    @pl.when(c == 0)
+    def _init():
+        z = jnp.zeros((LANES, S), dt)
+        gp[...] = z
+        d1p[...] = z
+        d2p[...] = jnp.zeros((SL, S), dt)
+        hp[...] = jnp.zeros((SL, S), dt)
+        cp[...] = jnp.full((SL, S), 4, jnp.int32)
+        ap[...] = jnp.zeros((8, S), dt)
+
+    qs = [q_ref[r * SL : (r + 1) * SL, :].astype(jnp.int32) for r in range(R)]
+    sc = s_ref[...].astype(jnp.int32)
+    G = [gp[r * SL : (r + 1) * SL, :] for r in range(R)]
+    D = [d1p[r * SL : (r + 1) * SL, :] for r in range(R)]
+    D2L = d2p[...]  # D of sub-row R-1, two steps back
+    Hl = hp[...]  # H of sub-row R-1, one step back
+    C = cp[...]
+    acc = [ap[g, :] for g in range(seg)]
+    oeme = jnp.array(go, dt)
+    gext = jnp.array(ge, dt)
+    strip_rows = []
+
+    for step in range(chunk):
+        C = pltpu.roll(C, 1, axis=0)
+        for g in range(seg):
+            newc = sc[step : step + 1, g * S : (g + 1) * S]
+            C = jnp.where(row_iota == g * SLg, newc, C)
+        f0 = C >= FLAG_BIT
+        cval = C & 7
+        # sub-row 0: neighbours live one sublane up (rolled, 1 or 2 steps
+        # back); segment heads tie to the zero boundary
+        s0 = jnp.where(cval == qs[0], ma, mi).astype(dt)
+        bmask = jnp.logical_or(seghead, f0)
+        diag = jnp.where(bmask, zero, pltpu.roll(D2L, 1, axis=0))
+        Mc = jnp.maximum(diag + s0, 0)
+        G_up = jnp.where(seghead, zero, pltpu.roll(G[R - 1], 1, axis=0))
+        G_left = jnp.where(f0, zero, G[0])
+        Ic = jnp.maximum(G_up, G_left) + gext
+        Hcur = jnp.maximum(
+            jnp.where(seghead, zero, pltpu.roll(Hl, 1, axis=0)), Mc
+        )
+        newD = [jnp.maximum(Mc, Ic)]
+        newG = [jnp.maximum(Mc + oeme, Ic)]
+        # sub-rows 1..R-1: all dependencies in place (previous step's own
+        # planes, or this step's r-1 results); only the target-start reset
+        # (f0) applies — segment heads are never here
+        for r in range(1, R):
+            sr = jnp.where(cval == qs[r], ma, mi).astype(dt)
+            diag_r = jnp.where(f0, zero, D[r - 1])
+            Mc = jnp.maximum(diag_r + sr, 0)
+            G_left = jnp.where(f0, zero, G[r])
+            Ic = jnp.maximum(newG[r - 1], G_left) + gext
+            Hcur = jnp.maximum(Hcur, Mc)
+            newD.append(jnp.maximum(Mc, Ic))
+            newG.append(jnp.maximum(Mc + oeme, Ic))
+        D2L = D[R - 1]
+        D = newD
+        G = newG
+        Hl = Hcur
+        tails = []
+        for g in range(seg):
+            tr = (g + 1) * SLg - 1
+            a = jnp.maximum(jnp.where(f0[tr, :], zero, acc[g]), Hcur[tr, :])
+            acc[g] = a
+            tails.append(a[None, :].astype(jnp.int32))
+        strip_rows.append(
+            tails[0] if seg == 1 else jnp.concatenate(tails, axis=1)
+        )
+
+    out_ref[...] = jnp.concatenate(strip_rows, axis=0)
+    for r in range(R):
+        gp[r * SL : (r + 1) * SL, :] = G[r]
+        d1p[r * SL : (r + 1) * SL, :] = D[r]
+    d2p[...] = D2L
+    hp[...] = Hl
+    cp[...] = C
+    for g in range(seg):
+        ap[g, :] = acc[g]
+
+
 def _strip_call(
     qT, streamT, ma, mi, go, ge, interpret, seg=1, state_dtype="int32",
-    tail_acc=True,
+    tail_acc=True, rows=1,
 ):
     """qT: [128, S_phys] int8, streamT: [T, seg*S_phys] int8
-    -> strip [T, seg*S_phys] int32."""
+    -> strip [T, seg*S_phys] int32.  rows = query rows folded per sublane
+    (the multi-row kernel; rows=1 is the classic one-row wavefront)."""
     S = qT.shape[1]
     T = streamT.shape[0]
-    nc = T // STEP_CHUNK
+    # The unrolled body is chunk x per-step ops; per-step ops grow with
+    # `rows` (the sub-row loop), so shrink the chunk to keep the remote
+    # Mosaic compile bounded.  Interpret mode always uses the small chunk.
+    # T is rounded to STEP_CHUNK=32 by the packers, which 8 and 16 divide,
+    # so the grid math is unchanged.
+    if interpret:
+        chunk = 8
+    elif rows <= 1:
+        chunk = STEP_CHUNK
+    elif rows <= 4:
+        chunk = 16
+    else:
+        chunk = 8
+    nc = T // chunk
     dt = jnp.dtype(state_dtype).type if state_dtype != "int32" else jnp.int32
-    kernel = functools.partial(
-        _stream_kernel, ma=ma, mi=mi, go=go, ge=ge, seg=seg, dt=dt,
-        tail_acc=tail_acc,
-    )
+    if rows == 1:
+        kernel = functools.partial(
+            _stream_kernel, ma=ma, mi=mi, go=go, ge=ge, seg=seg, dt=dt,
+            tail_acc=tail_acc,
+        )
+        scratch = (
+            [pltpu.VMEM((LANES, S), dt) for _ in range(4)]
+            + [pltpu.VMEM((LANES, S), jnp.int32)]
+            + ([pltpu.VMEM((8, S), dt)] if tail_acc else [])
+        )
+    else:
+        SL = LANES // rows
+        kernel = functools.partial(
+            _stream_kernel_mr, ma=ma, mi=mi, go=go, ge=ge, seg=seg, R=rows,
+            dt=dt,
+        )
+        scratch = [
+            pltpu.VMEM((LANES, S), dt),  # G sub-row planes (stacked)
+            pltpu.VMEM((LANES, S), dt),  # D sub-row planes (stacked)
+            pltpu.VMEM((SL, S), dt),  # D[R-1] two steps back
+            pltpu.VMEM((SL, S), dt),  # H[R-1] one step back
+            pltpu.VMEM((SL, S), jnp.int32),  # char pipe
+            pltpu.VMEM((8, S), dt),  # per-segment tail accumulators
+        ]
     out = pl.pallas_call(
         kernel,
         grid=(nc,),
         in_specs=[
             pl.BlockSpec((LANES, S), lambda c: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (STEP_CHUNK, seg * S), lambda c: (c, 0), memory_space=pltpu.VMEM
+                (chunk, seg * S), lambda c: (c, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (STEP_CHUNK, seg * S), lambda c: (c, 0), memory_space=pltpu.VMEM
+            (chunk, seg * S), lambda c: (c, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((T, seg * S), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((LANES, S), dt) for _ in range(4)]
-        + [pltpu.VMEM((LANES, S), jnp.int32)]
-        + ([pltpu.VMEM((8, S), dt)] if tail_acc else []),
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=24 * S * LANES * T, bytes_accessed=(S * T) * 5, transcendentals=0
         ),
@@ -215,22 +354,39 @@ def _strip_call(
     return out
 
 
-def _to_kernel_layout(q, stream, segments):
+def _to_kernel_layout(q, stream, segments, rows=1):
     """Logical [N, qcap] queries / [N, T] streams -> kernel layout
     ([128, S_phys] and [T, N]) with logical stream n = g*S_phys + s mapping
-    to segment g of physical column s."""
+    to segment g of physical column s.
+
+    rows > 1 (multi-row kernel): query row i = k*rows + r of segment g maps
+    to kernel row r*(128//rows) + g*SLg + k."""
     N, qcap = q.shape
     S_phys = N // segments
-    qk = q.reshape(segments, S_phys, qcap).transpose(0, 2, 1).reshape(LANES, S_phys)
+    if rows == 1:
+        qk = (
+            q.reshape(segments, S_phys, qcap).transpose(0, 2, 1)
+            .reshape(LANES, S_phys)
+        )
+    else:
+        SLg = LANES // rows // segments
+        q4 = q.reshape(segments, S_phys, SLg, rows)  # [g, s, k, r]
+        qk = q4.transpose(3, 0, 2, 1).reshape(LANES, S_phys)
     return qk, stream.T
 
 
-def _validate(q, stream, segments, interpret):
+def _validate(q, stream, segments, interpret, rows=1):
     N, qcap = q.shape
     T = stream.shape[1]
     if LANES % segments or segments > 8:
         # the (8, S) tail-accumulator scratch holds one row per segment
         raise ValueError(f"segments {segments} must divide {LANES} and be <= 8")
+    if rows not in (1, 2, 4, 8, 16):
+        raise ValueError(f"rows {rows} must be one of 1/2/4/8/16")
+    if (LANES // rows) % segments:
+        raise ValueError(
+            f"sublane rows {LANES//rows} must divide by segments {segments}"
+        )
     if qcap != LANES // segments:
         raise ValueError(
             f"q width {qcap} != {LANES}//segments ({LANES // segments})"
@@ -248,7 +404,8 @@ def _validate(q, stream, segments, interpret):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "penalties", "interpret", "segments", "state_dtype", "tail_acc"
+        "penalties", "interpret", "segments", "state_dtype", "tail_acc",
+        "rows",
     ),
 )
 def sw_scores_stream_strip(
@@ -259,6 +416,7 @@ def sw_scores_stream_strip(
     segments: int = 1,
     state_dtype: str = "int32",
     tail_acc: bool = True,
+    rows: int = 1,
 ) -> jnp.ndarray:
     """Run the wavefront over packed streams; returns the raw H strip.
 
@@ -269,18 +427,21 @@ def sw_scores_stream_strip(
       penalties: static scoring penalties.
       segments: queries packed per lane column (1, 2, or 4); raises
         utilization to 100% for queries of <=128/segments bases.
+      rows: query rows folded per sublane (multi-row kernel; amortizes
+        sublane rolls by `rows`).  Query capacity is unchanged; the
+        emission drain shrinks to 128//(rows*segments) - 1.
 
     Returns: [N, T] int32 — each logical stream's segment-tail H after each
-    step; index [n, off+len-1+(128//segments-1)] holds the score of the
-    target at offset `off`.  Use swtpu.bank.streams to build inputs and
+    step; index [n, off+len-1+(128//(rows*segments)-1)] holds the score of
+    the target at offset `off`.  Use swtpu.bank.streams to build inputs and
     gather scores.
     """
     ma, mi, go, ge = penalties.astuple()
-    _validate(q, stream, segments, interpret)
-    qk, sk = _to_kernel_layout(q, stream, segments)
+    _validate(q, stream, segments, interpret, rows)
+    qk, sk = _to_kernel_layout(q, stream, segments, rows)
     out = _strip_call(
         qk, sk, ma, mi, go, ge, interpret, seg=segments,
-        state_dtype=state_dtype, tail_acc=tail_acc,
+        state_dtype=state_dtype, tail_acc=tail_acc, rows=rows,
     )
     return out.T
 
@@ -332,7 +493,8 @@ def sw_scores_stream_packed(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "penalties", "interpret", "segments", "state_dtype", "tail_acc"
+        "penalties", "interpret", "segments", "state_dtype", "tail_acc",
+        "rows",
     ),
 )
 def sw_scores_stream(
@@ -345,18 +507,20 @@ def sw_scores_stream(
     segments: int = 1,
     state_dtype: str = "int32",
     tail_acc: bool = True,
+    rows: int = 1,
 ) -> jnp.ndarray:
     """Wavefront scoring with on-device emission gather: only the per-read
     scores leave the chip (the strip stays in HBM) — the analog of the
     result-mux tap at `output_select` (ScoreBank/ScoringModule_v1.1.v:102-107).
 
-    emit_step < 0 marks a zero-length read (score 0)."""
+    emit_step < 0 marks a zero-length read (score 0).  emit_step must have
+    been computed for the same `rows`/`segments` (drain differs)."""
     ma, mi, go, ge = penalties.astuple()
-    _validate(q, stream, segments, interpret)
-    qk, sk = _to_kernel_layout(q, stream, segments)
+    _validate(q, stream, segments, interpret, rows)
+    qk, sk = _to_kernel_layout(q, stream, segments, rows)
     strip = _strip_call(
         qk, sk, ma, mi, go, ge, interpret, seg=segments,
-        state_dtype=state_dtype, tail_acc=tail_acc,
+        state_dtype=state_dtype, tail_acc=tail_acc, rows=rows,
     )  # [T, N]
     live = emit_step >= 0
     safe_step = jnp.where(live, emit_step, 0)

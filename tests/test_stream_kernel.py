@@ -128,3 +128,43 @@ def test_stream_wire_roundtrip_and_parity():
         )
     )
     np.testing.assert_array_equal(got, got_ref)
+
+
+@pytest.mark.parametrize("rows", [2, 4, 8])
+def test_multirow_stream_matches_oracle(rows):
+    # multi-row kernel (R query rows folded per sublane): same scores,
+    # smaller drain, R-fold fewer sublane rolls
+    rng = np.random.default_rng(100 + rows)
+    targets = _targets(rng, 17, lo=2, hi=70)
+    query = rng.integers(0, 4, size=97).astype(np.int8)
+    want = score_many_vs_one(query, targets)
+    got = score_streams(
+        query, targets, n_streams=8, interpret=INTERPRET, rows=rows
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("rows,segments", [(2, 2), (4, 4), (8, 2)])
+def test_multirow_segmented_stream(rows, segments):
+    rng = np.random.default_rng(200 + rows + segments)
+    targets = _targets(rng, 13, lo=2, hi=40)
+    qcap = 128 // segments
+    query = rng.integers(0, 4, size=qcap - 5).astype(np.int8)
+    want = score_many_vs_one(query, targets)
+    got = score_streams(
+        query, targets, n_streams=4 * segments, interpret=INTERPRET,
+        segments=segments, rows=rows,
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_multirow_full_length_query():
+    # full 128-base query at rows=4: capacity is unchanged by folding
+    rng = np.random.default_rng(300)
+    targets = _targets(rng, 9, lo=5, hi=90)
+    query = rng.integers(0, 4, size=128).astype(np.int8)
+    want = score_many_vs_one(query, targets)
+    got = score_streams(
+        query, targets, n_streams=8, interpret=INTERPRET, rows=4
+    )
+    np.testing.assert_array_equal(got, want)
