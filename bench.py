@@ -45,6 +45,7 @@ DEADLINE_S = float(os.environ.get("SWTPU_BENCH_DEADLINE_S", "460"))
 S_STREAMS = int(os.environ.get("SWTPU_BENCH_STREAMS", "512"))
 STATE_DTYPE = os.environ.get("SWTPU_BENCH_STATE_DTYPE", "int32")
 SEGMENTS = int(os.environ.get("SWTPU_BENCH_SEGMENTS", "1"))
+ROWS = int(os.environ.get("SWTPU_BENCH_ROWS", "1"))
 
 
 # ---------------------------------------------------------------- stages --
@@ -89,7 +90,8 @@ def _measure_stream(sizes, reps):
     @jax.jit
     def scored(q, stream, es, ep):
         s = sw_scores_stream(
-            q, stream, es, ep, state_dtype=STATE_DTYPE, segments=SEGMENTS
+            q, stream, es, ep, state_dtype=STATE_DTYPE, segments=SEGMENTS,
+            rows=ROWS,
         )
         # O(1) D2H: best hit + checksum + a 64-score parity window
         return jnp.max(s), jnp.sum(s), s[:64]
@@ -98,7 +100,7 @@ def _measure_stream(sizes, reps):
     times = {}
     for B in sizes:
         t = rng.integers(0, 4, size=(B, n)).astype(np.int8)
-        b = pack_streams(q, t, n_streams=S_STREAMS, segments=SEGMENTS)
+        b = pack_streams(q, t, n_streams=S_STREAMS, segments=SEGMENTS, rows=ROWS)
         dev = (
             jax.device_put(b.q),
             jax.device_put(b.stream),

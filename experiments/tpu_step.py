@@ -61,7 +61,7 @@ def parity():
         log("PARITY OK")
 
 
-def _parity_rows(rows, segments=1, S=128):
+def _parity_rows(rows, segments=1, S=128, state_dtype="int32"):
     """Compiled-TPU parity of the multi-row kernel vs the numpy oracle."""
     from swtpu.bank.streams import gather_stream_scores, pack_streams
     from swtpu.ops.pallas_stream import sw_scores_stream_strip
@@ -79,7 +79,8 @@ def _parity_rows(rows, segments=1, S=128):
                      segments=segments, rows=rows)
     log(f"rows={rows} seg={segments} T={b.stream.shape[1]} compiling/running...")
     strip = np.asarray(
-        sw_scores_stream_strip(b.q, b.stream, segments=segments, rows=rows)
+        sw_scores_stream_strip(b.q, b.stream, segments=segments, rows=rows,
+                               state_dtype=state_dtype)
     )
     got = gather_stream_scores(strip, b)
     bad = np.nonzero(got != want)[0]
@@ -227,6 +228,53 @@ def _chain_col(state_dtype="int32", ks=(1, 11)):
     log(f"column {state_dtype} chained: {per*1e3:.2f} ms/kernel -> {cells/per/1e9:.1f} GCUPS")
 
 
+def _e2e_dataset(db, queryf, scale=0):
+    """Score a reference FASTA end-to-end on the real TPU via the ScoreBank
+    stream backend (exercises segments=4 for 32nt queries), diff against the
+    RTL golden, and (scale>0) measure end-to-end GCUPS/reads-per-second on
+    the dataset tiled to ~`scale` reads (VERDICT item 4)."""
+    from swtpu.bank.scorebank import ScoreBank
+    from swtpu.cli import _load
+    from swtpu.io.loader import EncodedDB
+    from swtpu.testing.goldens import REFERENCE_DATA_DIR, parse_rtl_out_file
+
+    query, names, targets = _load(
+        str(REFERENCE_DATA_DIR / queryf), str(REFERENCE_DATA_DIR / db)
+    )
+    bank = ScoreBank(backend="stream", interpret=False)
+    res = bank.score_database(query, targets)  # compile + warm
+    res = bank.score_database(query, targets)
+    golden = parse_rtl_out_file(REFERENCE_DATA_DIR / f"{db}_{queryf}_out.txt")
+    bad = [
+        nm for i, nm in enumerate(names)
+        if nm in golden and golden[nm] != int(res.scores[i])
+    ]
+    log(
+        f"e2e {db} vs {queryf}: {len(golden)} golden ids, "
+        f"{len(bad)} mismatches ({bad[:5]}), {res.elapsed_s*1e3:.0f} ms"
+    )
+    if bad:
+        return
+    log("GOLDEN PARITY OK")
+    if not scale:
+        return
+    reps = -(-scale // len(targets))
+    mat = np.tile(targets.mat if isinstance(targets, EncodedDB) else np.stack(list(targets)), (reps, 1))
+    lens = np.tile(targets.lens if isinstance(targets, EncodedDB) else
+                   np.asarray([len(t) for t in targets]), reps)
+    big = EncodedDB(["r"] * len(lens), mat, lens)
+    r1 = bank.score_database(query, big)  # warm at this scale
+    r1 = bank.score_database(query, big)
+    ok = np.array_equal(
+        r1.scores[: len(res.scores)], res.scores
+    ) and np.array_equal(r1.scores[-len(res.scores):], res.scores)
+    log(
+        f"e2e scaled x{reps} ({len(lens)} reads): {r1.elapsed_s*1e3:.0f} ms "
+        f"end-to-end -> {r1.gcups:.1f} GCUPS, "
+        f"{len(lens)/r1.elapsed_s/1e6:.2f} Mreads/s, tiled-parity={'OK' if ok else 'FAIL'}"
+    )
+
+
 STEPS = {
     "probe": probe,
     "parity": parity,
@@ -248,6 +296,14 @@ STEPS = {
     "chain_stream_r16": lambda: _chain_stream(512, rows=16),
     "chain_stream_r8_f32": lambda: _chain_stream(512, rows=8, state_dtype="float32"),
     "chain_stream_r8_s1024": lambda: _chain_stream(1024, rows=8),
+    "parity_i16": lambda: _parity_rows(1, state_dtype="int16"),
+    "parity_r8_i16": lambda: _parity_rows(8, state_dtype="int16"),
+    "chain_stream_i16": lambda: _chain_stream(512, state_dtype="int16"),
+    "chain_stream_r8_i16": lambda: _chain_stream(512, rows=8, state_dtype="int16"),
+    "chain_stream_r4_i16": lambda: _chain_stream(512, rows=4, state_dtype="int16"),
+    "e2e_data1": lambda: _e2e_dataset("data1.fa", "query1.fa", scale=1 << 18),
+    "e2e_data100": lambda: _e2e_dataset("data100.fa", "query100.fa", scale=1 << 18),
+    "e2e_data500": lambda: _e2e_dataset("data500.fa", "query100.fa"),
     "chain_col": lambda: _chain_col("int32"),
     "chain_col_i16": lambda: _chain_col("int16"),
     "chain_col_f32": lambda: _chain_col("float32"),

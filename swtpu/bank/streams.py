@@ -317,6 +317,7 @@ def score_streams(
     interpret: bool = False,
     segments: int = 1,
     rows: int = 1,
+    state_dtype: str = "int32",
 ) -> np.ndarray:
     """End-to-end streamed scoring: pack -> wavefront kernel -> gather."""
     from swtpu.config import DEFAULT_PENALTIES
@@ -327,7 +328,7 @@ def score_streams(
     strip = np.asarray(
         sw_scores_stream_strip(
             batch.q, batch.stream, pen, interpret=interpret,
-            segments=segments, rows=rows,
+            segments=segments, rows=rows, state_dtype=state_dtype,
         )
     )
     return gather_stream_scores(strip, batch)

@@ -82,7 +82,7 @@ def _stream_kernel(
         hp[...] = z
         cp[...] = jnp.full((LANES, S), 4, jnp.int32)  # sentinel-filled pipe
         if tail_acc:
-            ap[...] = jnp.zeros((8, S), dt)
+            ap[...] = jnp.zeros(ap.shape, dt)
 
     # char pipe stays integer whatever the score-state dtype is (flag bit
     # tests and &7 are bitwise)
@@ -207,7 +207,7 @@ def _stream_kernel_mr(
         d2p[...] = jnp.zeros((SL, S), dt)
         hp[...] = jnp.zeros((SL, S), dt)
         cp[...] = jnp.full((SL, S), 4, jnp.int32)
-        ap[...] = jnp.zeros((8, S), dt)
+        ap[...] = jnp.zeros(ap.shape, dt)
 
     qs = [q_ref[r * SL : (r + 1) * SL, :].astype(jnp.int32) for r in range(R)]
     sc = s_ref[...].astype(jnp.int32)
@@ -303,6 +303,10 @@ def _strip_call(
         chunk = 8
     nc = T // chunk
     dt = jnp.dtype(state_dtype).type if state_dtype != "int32" else jnp.int32
+    # the tail-accumulator scratch holds one live row per segment but must
+    # span full sublane tiles: 16-bit dtypes tile as (16, 128), so an
+    # 8-sublane scratch would be sub-tile (the round-1 int16 Mosaic crash)
+    acc_rows = 16 if jnp.dtype(dt).itemsize == 2 else 8
     if rows == 1:
         kernel = functools.partial(
             _stream_kernel, ma=ma, mi=mi, go=go, ge=ge, seg=seg, dt=dt,
@@ -311,7 +315,7 @@ def _strip_call(
         scratch = (
             [pltpu.VMEM((LANES, S), dt) for _ in range(4)]
             + [pltpu.VMEM((LANES, S), jnp.int32)]
-            + ([pltpu.VMEM((8, S), dt)] if tail_acc else [])
+            + ([pltpu.VMEM((acc_rows, S), dt)] if tail_acc else [])
         )
     else:
         SL = LANES // rows
@@ -325,7 +329,7 @@ def _strip_call(
             pltpu.VMEM((SL, S), dt),  # D[R-1] two steps back
             pltpu.VMEM((SL, S), dt),  # H[R-1] one step back
             pltpu.VMEM((SL, S), jnp.int32),  # char pipe
-            pltpu.VMEM((8, S), dt),  # per-segment tail accumulators
+            pltpu.VMEM((acc_rows, S), dt),  # per-segment tail accumulators
         ]
     out = pl.pallas_call(
         kernel,
@@ -375,7 +379,7 @@ def _to_kernel_layout(q, stream, segments, rows=1):
     return qk, stream.T
 
 
-def _validate(q, stream, segments, interpret, rows=1):
+def _validate(q, stream, segments, interpret, rows=1, state_dtype="int32"):
     N, qcap = q.shape
     T = stream.shape[1]
     if LANES % segments or segments > 8:
@@ -383,6 +387,10 @@ def _validate(q, stream, segments, interpret, rows=1):
         raise ValueError(f"segments {segments} must divide {LANES} and be <= 8")
     if rows not in (1, 2, 4, 8, 16):
         raise ValueError(f"rows {rows} must be one of 1/2/4/8/16")
+    if rows == 16 and state_dtype in ("int16", "uint16", "bfloat16"):
+        # (128//16, S) = 8-sublane state planes sub-tile the (16, 128)
+        # 16-bit layout
+        raise ValueError("rows=16 requires a 32-bit state dtype")
     if (LANES // rows) % segments:
         raise ValueError(
             f"sublane rows {LANES//rows} must divide by segments {segments}"
@@ -437,7 +445,7 @@ def sw_scores_stream_strip(
     gather scores.
     """
     ma, mi, go, ge = penalties.astuple()
-    _validate(q, stream, segments, interpret, rows)
+    _validate(q, stream, segments, interpret, rows, state_dtype)
     qk, sk = _to_kernel_layout(q, stream, segments, rows)
     out = _strip_call(
         qk, sk, ma, mi, go, ge, interpret, seg=segments,
@@ -516,7 +524,7 @@ def sw_scores_stream(
     emit_step < 0 marks a zero-length read (score 0).  emit_step must have
     been computed for the same `rows`/`segments` (drain differs)."""
     ma, mi, go, ge = penalties.astuple()
-    _validate(q, stream, segments, interpret, rows)
+    _validate(q, stream, segments, interpret, rows, state_dtype)
     qk, sk = _to_kernel_layout(q, stream, segments, rows)
     strip = _strip_call(
         qk, sk, ma, mi, go, ge, interpret, seg=segments,

@@ -168,3 +168,32 @@ def test_multirow_full_length_query():
         query, targets, n_streams=8, interpret=INTERPRET, rows=4
     )
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("rows", [1, 8])
+def test_stream_int16_state(rows):
+    # int16 state is exact for all reachable scores (max 128*5=640; G >= -12,
+    # I >= -16 — bounded, SURVEY.md §0); the accumulator scratch widens to a
+    # full (16, S) sublane tile for 16-bit dtypes
+    rng = np.random.default_rng(400 + rows)
+    targets = _targets(rng, 15, lo=2, hi=80)
+    query = rng.integers(0, 4, size=113).astype(np.int8)
+    want = score_many_vs_one(query, targets)
+    got = score_streams(
+        query, targets, n_streams=8, interpret=INTERPRET, rows=rows,
+        state_dtype="int16",
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_stream_rows16_rejects_int16():
+    import jax.numpy as jnp
+    from swtpu.ops.pallas_stream import sw_scores_stream_strip
+
+    q = np.zeros((8, 128), np.int8)
+    stream = np.zeros((8, 32), np.int8)
+    with pytest.raises(ValueError, match="32-bit"):
+        sw_scores_stream_strip(
+            jnp.asarray(q), jnp.asarray(stream), interpret=True, rows=16,
+            state_dtype="int16",
+        )
