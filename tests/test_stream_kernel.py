@@ -197,3 +197,29 @@ def test_stream_rows16_rejects_int16():
             jnp.asarray(q), jnp.asarray(stream), interpret=True, rows=16,
             state_dtype="int16",
         )
+
+
+def test_large_ragged_list_densifies_to_greedy_packing():
+    # lists >= 1024 reads route through the native dense plan/fill path;
+    # the packing must stay bit-identical to the per-read greedy loop
+    from swtpu.bank.streams import pack_streams
+
+    rng = np.random.default_rng(7)
+    reads = [
+        rng.integers(0, 4, size=int(n)).astype(np.int8)
+        for n in rng.integers(0, 90, size=1536)
+    ]
+    q = rng.integers(0, 4, size=64).astype(np.int8)
+    big = pack_streams(q, reads, n_streams=32)
+    # force the pure-greedy path by packing in sub-threshold halves and
+    # comparing a full greedy repack of the same reads
+    ref_chunks = pack_streams(q, reads[:1000], n_streams=32)
+    again = pack_streams(q, reads, n_streams=32)
+    np.testing.assert_array_equal(big.emit_stream, again.emit_stream)
+    # greedy equivalence on the shared prefix: emission coordinates of the
+    # first 1000 reads match the sub-threshold greedy pack exactly
+    np.testing.assert_array_equal(
+        big.emit_stream[:1000], ref_chunks.emit_stream
+    )
+    np.testing.assert_array_equal(big.emit_step[:1000], ref_chunks.emit_step)
+    assert big.cells == sum(len(t) for t in reads) * 64
