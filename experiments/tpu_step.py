@@ -133,16 +133,21 @@ def _col_bench(state_dtype):
     log(f"column {state_dtype}: -> {g:.1f} GCUPS")
 
 
-def _chain_stream(S=256, ks=(1, 11), state_dtype="int32", rows=1):
+def _chain_stream(S=256, ks=(1, 11), state_dtype="int32", rows=1, chunk=None):
     """Robust timing: k *data-dependent* kernel calls inside one jit, so
     per-kernel device time = (T[k2]-T[k1])/(k2-k1) with every fixed cost
-    (dispatch, transfers, tunnel jitter) cancelled."""
+    (dispatch, transfers, tunnel jitter) cancelled.
+
+    Multi-row bodies compile slowly on the remote service; pass short `ks`
+    (e.g. (1, 5)) and/or a smaller `chunk`, and warm each k in its own run
+    (ks=(k,)) so every process stays under the task cap and lands in the
+    persistent cache."""
     import functools
 
     import jax.numpy as jnp
 
     from swtpu.bank.streams import pack_streams
-    from swtpu.ops.pallas_stream import _strip_call, _to_kernel_layout, sw_scores_stream
+    from swtpu.ops.pallas_stream import _strip_call, _to_kernel_layout
 
     from swtpu.config import DEFAULT_PENALTIES as pen
 
@@ -164,7 +169,8 @@ def _chain_stream(S=256, ks=(1, 11), state_dtype="int32", rows=1):
         s_in = sk
         for _ in range(k):
             strip = _strip_call(qk, s_in, ma, mi, go, ge, False,
-                                state_dtype=state_dtype, rows=rows)
+                                state_dtype=state_dtype, rows=rows,
+                                chunk=chunk)
             v = strip[-1, 0]  # data-dependent scalar
             acc = acc + v
             # force next call to depend on this result without changing data
@@ -173,7 +179,9 @@ def _chain_stream(S=256, ks=(1, 11), state_dtype="int32", rows=1):
 
     times = {}
     for k in ks:
+        t0 = time.time()
         _ = np.asarray(chain(dq, ds_, k))  # compile+warm
+        log(f"chain k={k}: compile+warm {time.time()-t0:.0f}s")
         best = 1e9
         for _ in range(3):
             t0 = time.time()
@@ -181,7 +189,9 @@ def _chain_stream(S=256, ks=(1, 11), state_dtype="int32", rows=1):
             best = min(best, time.time() - t0)
         times[k] = best
         log(f"chain k={k}: {best*1e3:.1f} ms")
-    k1, k2 = ks
+    if len(ks) < 2:
+        return
+    k1, k2 = ks[0], ks[-1]
     per = (times[k2] - times[k1]) / (k2 - k1)
     log(f"stream S={S} {state_dtype} rows={rows} chained: {per*1e3:.2f} ms/kernel"
         f" -> {cells/per/1e9:.1f} GCUPS")
@@ -291,16 +301,30 @@ STEPS = {
     "parity_r8": lambda: _parity_rows(8),
     "parity_r4_seg4": lambda: _parity_rows(4, segments=4),
     "chain_stream_r2": lambda: _chain_stream(512, rows=2),
-    "chain_stream_r4": lambda: _chain_stream(512, rows=4),
-    "chain_stream_r8": lambda: _chain_stream(512, rows=8),
-    "chain_stream_r16": lambda: _chain_stream(512, rows=16),
-    "chain_stream_r8_f32": lambda: _chain_stream(512, rows=8, state_dtype="float32"),
-    "chain_stream_r8_s1024": lambda: _chain_stream(1024, rows=8),
+    # multi-row bodies compile slowly: warm k=1 and k=5 in separate runs
+    # (persistent cache), then the measuring step is compile-free
+    "warm_r4_k1": lambda: _chain_stream(512, ks=(1,), rows=4),
+    "warm_r4_k5": lambda: _chain_stream(512, ks=(5,), rows=4),
+    "chain_stream_r4": lambda: _chain_stream(512, ks=(1, 5), rows=4),
+    "warm_r8_k1": lambda: _chain_stream(512, ks=(1,), rows=8),
+    "warm_r8_k5": lambda: _chain_stream(512, ks=(5,), rows=8),
+    "chain_stream_r8": lambda: _chain_stream(512, ks=(1, 5), rows=8),
+    "warm_r16_k1": lambda: _chain_stream(512, ks=(1,), rows=16),
+    "warm_r16_k5": lambda: _chain_stream(512, ks=(5,), rows=16),
+    "chain_stream_r16": lambda: _chain_stream(512, ks=(1, 5), rows=16),
+    "warm_r8_f32_k1": lambda: _chain_stream(512, ks=(1,), rows=8, state_dtype="float32"),
+    "warm_r8_f32_k5": lambda: _chain_stream(512, ks=(5,), rows=8, state_dtype="float32"),
+    "chain_stream_r8_f32": lambda: _chain_stream(512, ks=(1, 5), rows=8, state_dtype="float32"),
+    "chain_stream_r8_s1024": lambda: _chain_stream(1024, ks=(1, 5), rows=8),
     "parity_i16": lambda: _parity_rows(1, state_dtype="int16"),
     "parity_r8_i16": lambda: _parity_rows(8, state_dtype="int16"),
     "chain_stream_i16": lambda: _chain_stream(512, state_dtype="int16"),
-    "chain_stream_r8_i16": lambda: _chain_stream(512, rows=8, state_dtype="int16"),
-    "chain_stream_r4_i16": lambda: _chain_stream(512, rows=4, state_dtype="int16"),
+    "warm_r8_i16_k1": lambda: _chain_stream(512, ks=(1,), rows=8, state_dtype="int16"),
+    "warm_r8_i16_k5": lambda: _chain_stream(512, ks=(5,), rows=8, state_dtype="int16"),
+    "chain_stream_r8_i16": lambda: _chain_stream(512, ks=(1, 5), rows=8, state_dtype="int16"),
+    "warm_r4_i16_k1": lambda: _chain_stream(512, ks=(1,), rows=4, state_dtype="int16"),
+    "warm_r4_i16_k5": lambda: _chain_stream(512, ks=(5,), rows=4, state_dtype="int16"),
+    "chain_stream_r4_i16": lambda: _chain_stream(512, ks=(1, 5), rows=4, state_dtype="int16"),
     "e2e_data1": lambda: _e2e_dataset("data1.fa", "query1.fa", scale=1 << 18),
     "e2e_data100": lambda: _e2e_dataset("data100.fa", "query100.fa", scale=1 << 18),
     "e2e_data500": lambda: _e2e_dataset("data500.fa", "query100.fa"),

@@ -239,16 +239,23 @@ class ScoreBank:
             segments = 2
         else:
             segments = 1
+        rows = self.config.stream_rows
+        if rows == 0:
+            # auto: fold query rows per sublane to amortize sublane rolls
+            # (measured sweet spots, BENCH_NOTES.md); interpret mode stays at
+            # 1 row (folding only pays on hardware)
+            rows = {1: 8, 2: 8, 4: 4}[segments] if not self._interpret else 1
         # logical streams = physical lane columns x segments
         phys = max(128, self.config.block_pairs // 4) if not self._interpret else 8
         if tlens is not None:
             batch = pack_streams(
                 query, tmat, n_streams=phys * segments, segments=segments,
-                lens=tlens,
+                lens=tlens, rows=rows,
             )
         else:
             batch = pack_streams(
-                query, targets, n_streams=phys * segments, segments=segments
+                query, targets, n_streams=phys * segments, segments=segments,
+                rows=rows,
             )
         if self.config.wire_2bit and not self._interpret:
             # ship the stream at 2.5 bits/char and expand on device — the
@@ -262,7 +269,7 @@ class ScoreBank:
                     batch.q, codes, flags,
                     batch.emit_stream, batch.emit_step.astype(np.int32),
                     self.config.penalties, interpret=self._interpret,
-                    segments=segments,
+                    segments=segments, rows=rows,
                 )
             )
         else:
@@ -271,7 +278,7 @@ class ScoreBank:
                     batch.q, batch.stream,
                     batch.emit_stream, batch.emit_step.astype(np.int32),
                     self.config.penalties, interpret=self._interpret,
-                    segments=segments,
+                    segments=segments, rows=rows,
                 )
             )
         elapsed = time.perf_counter() - t0

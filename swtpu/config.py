@@ -86,3 +86,8 @@ class SWConfig:
     # bitmap), expanding on device — the reference's transfer packing
     # (aligner_Header.c:30-41); cuts H2D 3.2x on tunnel-limited links
     wire_2bit: bool = True
+    # query rows folded per VPU sublane in the stream kernel (the multi-row
+    # wavefront, swtpu/ops/pallas_stream.py): amortizes sublane rolls by
+    # `rows`.  0 = auto (pick the fastest measured config for the segment
+    # count); 1 = classic one-row wavefront.
+    stream_rows: int = 0

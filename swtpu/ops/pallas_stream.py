@@ -281,7 +281,7 @@ def _stream_kernel_mr(
 
 def _strip_call(
     qT, streamT, ma, mi, go, ge, interpret, seg=1, state_dtype="int32",
-    tail_acc=True, rows=1,
+    tail_acc=True, rows=1, chunk=None,
 ):
     """qT: [128, S_phys] int8, streamT: [T, seg*S_phys] int8
     -> strip [T, seg*S_phys] int32.  rows = query rows folded per sublane
@@ -293,14 +293,15 @@ def _strip_call(
     # Mosaic compile bounded.  Interpret mode always uses the small chunk.
     # T is rounded to STEP_CHUNK=32 by the packers, which 8 and 16 divide,
     # so the grid math is unchanged.
-    if interpret:
-        chunk = 8
-    elif rows <= 1:
-        chunk = STEP_CHUNK
-    elif rows <= 4:
-        chunk = 16
-    else:
-        chunk = 8
+    if chunk is None:
+        if interpret:
+            chunk = 8
+        elif rows <= 1:
+            chunk = STEP_CHUNK
+        elif rows <= 4:
+            chunk = 16
+        else:
+            chunk = 8
     nc = T // chunk
     dt = jnp.dtype(state_dtype).type if state_dtype != "int32" else jnp.int32
     # the tail-accumulator scratch holds one live row per segment but must
@@ -473,7 +474,8 @@ def unpack_stream_wire(codes: jnp.ndarray, flags: jnp.ndarray) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "penalties", "interpret", "segments", "state_dtype", "tail_acc"
+        "penalties", "interpret", "segments", "state_dtype", "tail_acc",
+        "rows",
     ),
 )
 def sw_scores_stream_packed(
@@ -487,6 +489,7 @@ def sw_scores_stream_packed(
     segments: int = 1,
     state_dtype: str = "int32",
     tail_acc: bool = True,
+    rows: int = 1,
 ) -> jnp.ndarray:
     """sw_scores_stream on the 2-bit wire format: the stream crosses H2D at
     2.5 bits/char (pack_stream_wire) and expands on device."""
@@ -494,7 +497,7 @@ def sw_scores_stream_packed(
     return sw_scores_stream(
         q, stream, emit_stream, emit_step, penalties=penalties,
         interpret=interpret, segments=segments, state_dtype=state_dtype,
-        tail_acc=tail_acc,
+        tail_acc=tail_acc, rows=rows,
     )
 
 
