@@ -250,6 +250,7 @@ def pack_streams_sharded(
     n_shards: int,
     n_streams: int = 256,
     segments: int = 1,
+    rows: int = 1,
 ) -> ShardedStreamBatch:
     """Deal reads round-robin to `n_shards` device shards and pack each with
     :func:`pack_streams`; pad stream length and read count to shard maxima."""
@@ -257,7 +258,7 @@ def pack_streams_sharded(
     batches = [
         pack_streams(
             query, [targets[i] for i in g], n_streams=n_streams,
-            segments=segments,
+            segments=segments, rows=rows,
         )
         for g in groups
     ]

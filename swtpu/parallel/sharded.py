@@ -68,6 +68,8 @@ def make_sharded_stream_scorer(
     interpret: bool = False,
     segments: int = 1,
     k: int = 0,
+    rows: int = 1,
+    state_dtype: str = "int32",
 ) -> Callable:
     """Shard the streamed-wavefront backend (the headline kernel) over the
     mesh: each device runs one feeder bank's streams and emits its shard's
@@ -78,6 +80,9 @@ def make_sharded_stream_scorer(
       scores[D, R] = f(q[D, N, qcap], stream[D, N, T],
                        emit_stream[D, R], emit_step[D, R], ids[D, R])
     With k > 0 returns (scores[D, R], top_scores[k], top_ids[k]).
+
+    rows / state_dtype select the kernel variant (multi-row folding, score
+    state width); the batch must be packed with the same `rows`.
     """
     from swtpu.ops.pallas_stream import sw_scores_stream
 
@@ -85,6 +90,7 @@ def make_sharded_stream_scorer(
         s = sw_scores_stream(
             q[0], stream[0], es[0], ep[0],
             penalties=penalties, interpret=interpret, segments=segments,
+            rows=rows, state_dtype=state_dtype,
         )
         if not k:
             return s[None, :]

@@ -133,3 +133,33 @@ def test_sharded_stream_topk(mesh):
     np.testing.assert_array_equal(np.sort(top_s), np.sort(want[order[:5]]))
     for s_, i in zip(top_s, top_ids):
         assert want[i] == s_
+
+
+def test_sharded_stream_multirow():
+    # the multi-row kernel shards identically: pack with rows=4, run the
+    # sharded scorer with the same rows
+    import jax
+    from swtpu.bank.streams import pack_streams_sharded, scatter_sharded_scores
+    from swtpu.oracle import score_many_vs_one
+    from swtpu.parallel import make_mesh, make_sharded_stream_scorer
+
+    n_dev = len(jax.devices())
+    rng = np.random.default_rng(42)
+    targets = [
+        rng.integers(0, 4, size=rng.integers(2, 30)).astype(np.int8)
+        for _ in range(3 * n_dev + 1)
+    ]
+    query = rng.integers(0, 4, size=20).astype(np.int8)
+    batch = pack_streams_sharded(
+        query, targets, n_shards=n_dev, n_streams=8, rows=4
+    )
+    mesh = make_mesh(n_dev)
+    scorer = make_sharded_stream_scorer(mesh, interpret=True, rows=4, k=2)
+    s, ts, tids = scorer(
+        batch.q, batch.stream, batch.emit_stream,
+        batch.emit_step.astype(np.int32), batch.ids,
+    )
+    got = scatter_sharded_scores(np.asarray(s), batch, len(targets))
+    want = score_many_vs_one(query, targets)
+    np.testing.assert_array_equal(got, want)
+    assert int(np.asarray(ts)[0]) == want.max()
