@@ -45,7 +45,7 @@ DEADLINE_S = float(os.environ.get("SWTPU_BENCH_DEADLINE_S", "460"))
 S_STREAMS = int(os.environ.get("SWTPU_BENCH_STREAMS", "512"))
 STATE_DTYPE = os.environ.get("SWTPU_BENCH_STATE_DTYPE", "int32")
 SEGMENTS = int(os.environ.get("SWTPU_BENCH_SEGMENTS", "1"))
-ROWS = int(os.environ.get("SWTPU_BENCH_ROWS", "1"))
+ROWS = int(os.environ.get("SWTPU_BENCH_ROWS", "16"))
 
 
 # ---------------------------------------------------------------- stages --

@@ -64,6 +64,25 @@ QUEUES = {
         (["experiments/tpu_step.py", "e2e_data100"], 560),
         (["experiments/tpu_step.py", "e2e_data500"], 560),
     ],
+    # post-rows2 sweep: rows=16 parity + tuning, segmented short-query
+    # chains, int16 at rows<=8, then the reference datasets end-to-end
+    "sweep": [
+        (["experiments/tpu_step.py", "parity_r16"], 560),
+        (["experiments/tpu_step.py", "parity_r16_seg4"], 560),
+        (["experiments/tpu_step.py", "parity_i16"], 560),
+        (["experiments/tpu_step.py", "parity_r8_i16"], 560),
+        (["experiments/tpu_step.py", "chain_stream_r16_s1024"], 560),
+        (["experiments/tpu_step.py", "chain_stream_r16_s256"], 560),
+        (["experiments/tpu_step.py", "chain_stream_r16_c16"], 560),
+        (["experiments/tpu_step.py", "chain_stream_r16_f32"], 560),
+        (["experiments/tpu_step.py", "chain_stream_r16_seg4"], 560),
+        (["experiments/tpu_step.py", "chain_stream_r4_seg4"], 560),
+        (["experiments/tpu_step.py", "chain_stream_r8_i16"], 560),
+        (["experiments/tpu_step.py", "chain_stream_r4_i16"], 560),
+        (["experiments/tpu_step.py", "e2e_data1"], 560),
+        (["experiments/tpu_step.py", "e2e_data100"], 560),
+        (["experiments/tpu_step.py", "e2e_data500"], 560),
+    ],
 }
 
 

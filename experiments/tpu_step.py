@@ -133,7 +133,8 @@ def _col_bench(state_dtype):
     log(f"column {state_dtype}: -> {g:.1f} GCUPS")
 
 
-def _chain_stream(S=256, ks=(1, 11), state_dtype="int32", rows=1, chunk=None):
+def _chain_stream(S=256, ks=(1, 11), state_dtype="int32", rows=1, chunk=None,
+                  segments=1):
     """Robust timing: k *data-dependent* kernel calls inside one jit, so
     per-kernel device time = (T[k2]-T[k1])/(k2-k1) with every fixed cost
     (dispatch, transfers, tunnel jitter) cancelled.
@@ -152,13 +153,14 @@ def _chain_stream(S=256, ks=(1, 11), state_dtype="int32", rows=1, chunk=None):
     from swtpu.config import DEFAULT_PENALTIES as pen
 
     rng = np.random.default_rng(0)
-    m = n = 128
-    B = 65536
-    qh = rng.integers(0, 4, (B, m)).astype(np.int8)
+    m = n = 128 // segments  # segments=4: the reference's 32nt regime
+    B = 65536 * segments * segments
+    qh = rng.integers(0, 4, (1, m)).astype(np.int8)
     th = rng.integers(0, 4, (B, n)).astype(np.int8)
     targets = list(th)
-    big = pack_streams(qh[0], targets, n_streams=S, rows=rows)
-    qk, sk = _to_kernel_layout(big.q, big.stream, 1, rows)
+    big = pack_streams(qh[0], targets, n_streams=S * segments,
+                       segments=segments, rows=rows)
+    qk, sk = _to_kernel_layout(big.q, big.stream, segments, rows)
     dq, ds_ = jax.device_put(qk), jax.device_put(sk)
     ma, mi, go, ge = pen.astuple()
     cells = B * m * n
@@ -170,7 +172,7 @@ def _chain_stream(S=256, ks=(1, 11), state_dtype="int32", rows=1, chunk=None):
         for _ in range(k):
             strip = _strip_call(qk, s_in, ma, mi, go, ge, False,
                                 state_dtype=state_dtype, rows=rows,
-                                chunk=chunk)
+                                chunk=chunk, seg=segments)
             v = strip[-1, 0]  # data-dependent scalar
             acc = acc + v
             # force next call to depend on this result without changing data
@@ -193,7 +195,7 @@ def _chain_stream(S=256, ks=(1, 11), state_dtype="int32", rows=1, chunk=None):
         return
     k1, k2 = ks[0], ks[-1]
     per = (times[k2] - times[k1]) / (k2 - k1)
-    log(f"stream S={S} {state_dtype} rows={rows} chained: {per*1e3:.2f} ms/kernel"
+    log(f"stream S={S} seg={segments} {state_dtype} rows={rows} chained: {per*1e3:.2f} ms/kernel"
         f" -> {cells/per/1e9:.1f} GCUPS")
 
 
@@ -299,7 +301,9 @@ STEPS = {
     "chain_stream_s512_f32": lambda: _chain_stream(512, state_dtype="float32"),
     "parity_r2": lambda: _parity_rows(2),
     "parity_r8": lambda: _parity_rows(8),
+    "parity_r16": lambda: _parity_rows(16),
     "parity_r4_seg4": lambda: _parity_rows(4, segments=4),
+    "parity_r16_seg4": lambda: _parity_rows(16, segments=4),
     "chain_stream_r2": lambda: _chain_stream(512, rows=2),
     # multi-row bodies compile slowly: warm k=1 and k=5 in separate runs
     # (persistent cache), then the measuring step is compile-free
@@ -316,6 +320,12 @@ STEPS = {
     "warm_r8_f32_k5": lambda: _chain_stream(512, ks=(5,), rows=8, state_dtype="float32"),
     "chain_stream_r8_f32": lambda: _chain_stream(512, ks=(1, 5), rows=8, state_dtype="float32"),
     "chain_stream_r8_s1024": lambda: _chain_stream(1024, ks=(1, 5), rows=8),
+    "chain_stream_r16_s1024": lambda: _chain_stream(1024, ks=(1, 5), rows=16),
+    "chain_stream_r16_s256": lambda: _chain_stream(256, ks=(1, 5), rows=16),
+    "chain_stream_r16_c16": lambda: _chain_stream(512, ks=(1, 5), rows=16, chunk=16),
+    "chain_stream_r16_f32": lambda: _chain_stream(512, ks=(1, 5), rows=16, state_dtype="float32"),
+    "chain_stream_r16_seg4": lambda: _chain_stream(512, ks=(1, 5), rows=16, segments=4),
+    "chain_stream_r4_seg4": lambda: _chain_stream(512, ks=(1, 5), rows=4, segments=4),
     "parity_i16": lambda: _parity_rows(1, state_dtype="int16"),
     "parity_r8_i16": lambda: _parity_rows(8, state_dtype="int16"),
     "chain_stream_i16": lambda: _chain_stream(512, state_dtype="int16"),

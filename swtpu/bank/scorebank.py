@@ -242,9 +242,10 @@ class ScoreBank:
         rows = self.config.stream_rows
         if rows == 0:
             # auto: fold query rows per sublane to amortize sublane rolls
-            # (measured sweet spots, BENCH_NOTES.md); interpret mode stays at
-            # 1 row (folding only pays on hardware)
-            rows = {1: 8, 2: 8, 4: 4}[segments] if not self._interpret else 1
+            # (measured sweet spots, BENCH_NOTES.md: rows=16 -> 323 GCUPS at
+            # segments=1; segmented configs cap at rows*segments = 16);
+            # interpret mode stays at 1 row (folding only pays on hardware)
+            rows = {1: 16, 2: 8, 4: 4}[segments] if not self._interpret else 1
         # logical streams = physical lane columns x segments
         phys = max(128, self.config.block_pairs // 4) if not self._interpret else 8
         if tlens is not None:

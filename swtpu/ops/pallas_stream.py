@@ -392,6 +392,12 @@ def _validate(q, stream, segments, interpret, rows=1, state_dtype="int32"):
         # (128//16, S) = 8-sublane state planes sub-tile the (16, 128)
         # 16-bit layout
         raise ValueError("rows=16 requires a 32-bit state dtype")
+    if rows == 16 and segments > 1 and not interpret:
+        # measured Mosaic limitation: the per-segment tail concat at
+        # SLg = 8//segments trips "offset mismatch on non-concat dimension"
+        # (experiments/campaign_sweep, parity_r16_seg4); rows<=8 covers every
+        # segmented config
+        raise ValueError("rows=16 supports segments=1 only on TPU")
     if (LANES // rows) % segments:
         raise ValueError(
             f"sublane rows {LANES//rows} must divide by segments {segments}"

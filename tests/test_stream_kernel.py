@@ -130,7 +130,7 @@ def test_stream_wire_roundtrip_and_parity():
     np.testing.assert_array_equal(got, got_ref)
 
 
-@pytest.mark.parametrize("rows", [2, 4, 8])
+@pytest.mark.parametrize("rows", [2, 4, 8, 16])
 def test_multirow_stream_matches_oracle(rows):
     # multi-row kernel (R query rows folded per sublane): same scores,
     # smaller drain, R-fold fewer sublane rolls
@@ -144,7 +144,7 @@ def test_multirow_stream_matches_oracle(rows):
     np.testing.assert_array_equal(got, want)
 
 
-@pytest.mark.parametrize("rows,segments", [(2, 2), (4, 4), (8, 2)])
+@pytest.mark.parametrize("rows,segments", [(2, 2), (4, 4), (8, 2), (16, 2), (16, 4)])
 def test_multirow_segmented_stream(rows, segments):
     rng = np.random.default_rng(200 + rows + segments)
     targets = _targets(rng, 13, lo=2, hi=40)
