@@ -64,6 +64,18 @@ QUEUES = {
         (["experiments/tpu_step.py", "e2e_data100"], 560),
         (["experiments/tpu_step.py", "e2e_data500"], 560),
     ],
+    # remainder after the first sweep: f32 A/B, segmented chains, datasets
+    # end-to-end, and warming the bench headline shapes into .jaxcache
+    "sweep2": [
+        (["experiments/tpu_step.py", "chain_stream_r16_f32"], 560),
+        (["experiments/tpu_step.py", "chain_stream_r4_seg4"], 560),
+        (["experiments/tpu_step.py", "chain_stream_r8_seg4"], 560),
+        (["experiments/tpu_step.py", "chain_stream_r8_seg2"], 560),
+        (["experiments/tpu_step.py", "e2e_data1"], 560),
+        (["experiments/tpu_step.py", "e2e_data100"], 560),
+        (["experiments/tpu_step.py", "e2e_data500"], 560),
+        (["experiments/tpu_step.py", "warm_bench"], 560),
+    ],
     # post-rows2 sweep: rows=16 parity + tuning, segmented short-query
     # chains, int16 at rows<=8, then the reference datasets end-to-end
     "sweep": [
@@ -144,13 +156,12 @@ def main():
             log(f"  | {line}")
         log(f"step done: {name} rc={rc}")
         if rc != 0:
-            # re-probe before continuing; wedged tunnel poisons everything
-            if not probe_ok():
-                log("tunnel wedged after failure — sleeping 600 s")
-                time.sleep(600)
-                if not probe_ok():
-                    log("still wedged; stopping campaign")
-                    break
+            # re-probe before continuing; wedged tunnel poisons everything.
+            # Wedges can last an hour — keep probing until the budget runs
+            # out rather than abandoning the queue.
+            while time.time() < deadline and not probe_ok():
+                log("tunnel wedged after failure — sleeping 300 s")
+                time.sleep(300)
     log("campaign end")
 
 

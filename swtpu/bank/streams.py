@@ -90,8 +90,9 @@ def pack_streams(
     S = n_streams
     # Large ragged lists: densify (vectorized mask scatter) and take the
     # native plan/fill path instead of the per-read Python greedy loop
-    # (~50x on multi-100k-read databases)
-    if n_reads >= 1024 and all(
+    # (~50x on multi-100k-read databases).  A 2-D ndarray skips this — the
+    # equal-length fast path below uses the matrix with zero copies.
+    if n_reads >= 1024 and not isinstance(targets, np.ndarray) and all(
         isinstance(t, np.ndarray) and t.ndim == 1 for t in targets[:64]
     ):
         try:
@@ -120,6 +121,16 @@ def pack_streams(
             return _pack_streams_equal(
                 query, tmat.astype(np.int8), S, segments, rows
             )
+    # large equal-width matrix that misses the divisibility condition above:
+    # still take the native dense path rather than the per-row Python loop
+    if (
+        isinstance(targets, np.ndarray) and targets.ndim == 2
+        and n_reads >= 1024 and targets.shape[1] > 0
+    ):
+        return _pack_streams_dense(
+            query, targets.astype(np.int8, copy=False),
+            np.full(n_reads, targets.shape[1], np.int32), S, segments, rows,
+        )
     chunks: List[List[np.ndarray]] = [[] for _ in range(S)]
     fill = np.zeros(S, dtype=np.int64)
     emit_stream = np.zeros(n_reads, dtype=np.int32)
