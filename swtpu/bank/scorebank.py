@@ -137,8 +137,13 @@ class ScoreBank:
                 return self._score_database_stream(
                     query, targets, event_log, tmat=tmat, tlens=tlens
                 )
-            # stream pipe holds <=128 query rows; longer queries take the
-            # column kernel (query-tile chaining handles any length)
+            # longer queries chain 128-row wavefront tiles, carrying the
+            # tail-row D/G/H strips between tiles — the reference's reserved
+            # chaining-port intent (ScoringModule_v1.1.v:36-54) at the fast
+            # kernel's speed
+            return self._score_database_stream_long(
+                query, targets, event_log, tmat=tmat, tlens=tlens
+            )
         t0 = time.perf_counter()
         batches = pack_many_vs_one(
             query,
@@ -220,6 +225,54 @@ class ScoreBank:
             cells += batch.cells
             padded += batch.padded_cells
         return ScoreResult(scores, cells, padded, time.perf_counter() - t0)
+
+    def _score_database_stream_long(
+        self, query, targets, event_log=None, tmat=None, tlens=None
+    ) -> ScoreResult:
+        """Queries longer than 128 bases on the streamed wavefront: K-tile
+        chaining (swtpu.ops.pallas_stream.sw_scores_stream_long).  Covers the
+        reference's full LEN_WIDTH envelope (4095 bases, ScoreBank_v2.v:14-15)
+        and beyond, at the multi-row kernel's rate instead of the ~7x slower
+        column kernel."""
+        from swtpu.bank.streams import pack_streams_long, LANES
+        from swtpu.ops.pallas_stream import sw_scores_stream_long
+
+        t0 = time.perf_counter()
+        n_reads = len(tlens) if tlens is not None else len(targets)
+        rows = self.config.stream_rows
+        if rows == 0:
+            # chained tiles are always segments=1, so rows=16 is legal; the
+            # unrolled R=16 body is slow to build in interpret mode -> rows=1
+            rows = 16 if not self._interpret else 1
+        phys = max(128, self.config.block_pairs // 4) if not self._interpret else 8
+        if tlens is not None:
+            batch = pack_streams_long(
+                query, tmat, n_streams=phys, rows=rows, lens=tlens
+            )
+        else:
+            batch = pack_streams_long(query, targets, n_streams=phys, rows=rows)
+        scores = np.asarray(
+            sw_scores_stream_long(
+                batch.q, batch.stream,
+                batch.emit_stream, batch.emit_step.astype(np.int32),
+                self.config.penalties, interpret=self._interpret, rows=rows,
+            )
+        )
+        elapsed = time.perf_counter() - t0
+        K = batch.q.shape[1] // LANES
+        padded = batch.stream.shape[0] * batch.stream.shape[1] * LANES * K
+        if event_log is not None:
+            from swtpu.utils import BatchEvent
+
+            event_log.emit(
+                BatchEvent(
+                    "stream_long", t_wall=time.time(), elapsed_s=elapsed,
+                    reads=n_reads, cells=batch.cells, padded_cells=padded,
+                    note=f"streams={batch.stream.shape[0]} "
+                    f"T={batch.stream.shape[1]} tiles={K}",
+                )
+            )
+        return ScoreResult(scores, batch.cells, padded, elapsed)
 
     def _score_database_stream(
         self, query, targets, event_log=None, tmat=None, tlens=None

@@ -166,6 +166,41 @@ def pack_streams(
     return StreamBatch(q, stream, emit_stream, emit_step, cells, segments, rows)
 
 
+def pack_streams_long(
+    query: np.ndarray,
+    targets: Sequence[np.ndarray],
+    n_streams: int = 256,
+    rows: int = 16,
+    lens: Optional[np.ndarray] = None,
+) -> StreamBatch:
+    """Pack for :func:`swtpu.ops.pallas_stream.sw_scores_stream_long`:
+    queries longer than one 128-row tile (up to the reference's 4095-base
+    LEN_WIDTH envelope and beyond).  Stream assignment and emission
+    coordinates are query-length independent (drain = 128//rows - 1, same
+    as the single-tile multi-row contract); the stream gains
+    (128//rows - 1)*(K - 1) extra drain steps for the K-tile chain."""
+    from swtpu.ops.pallas_stream import STEP_CHUNK
+
+    query = np.asarray(query, np.int8)
+    K = max(1, -(-len(query) // LANES))
+    # emission/stream layout from a length-1 probe query (same drain), then
+    # widen the query register and scale the cell count
+    b = pack_streams(
+        query[:1], targets, n_streams, segments=1, lens=lens, rows=rows,
+    )
+    SL = LANES // rows
+    extra = (SL - 1) * (K - 1)
+    T = -(-(b.stream.shape[1] + extra) // STEP_CHUNK) * STEP_CHUNK
+    stream = np.full((n_streams, T), STREAM_PAD, dtype=np.int8)
+    stream[:, : b.stream.shape[1]] = b.stream
+    q = np.full((n_streams, K * LANES), Q_PAD, dtype=np.int8)
+    q[:, : len(query)] = query[None, :]
+    cells = b.cells * int(len(query))  # probe counted 1 cell per target char
+    return StreamBatch(
+        q, stream, b.emit_stream, b.emit_step, cells, 1, rows
+    )
+
+
 def _pack_streams_dense(
     query: np.ndarray, tmat: np.ndarray, lens: np.ndarray, S: int,
     segments: int, rows: int = 1,

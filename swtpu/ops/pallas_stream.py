@@ -279,6 +279,250 @@ def _stream_kernel_mr(
         ap[g, :] = acc[g]
 
 
+def _stream_kernel_mr_chained(
+    q_ref, s_ref, bd_ref, bg_ref, bh_ref,
+    out_ref, od_ref, og_ref, oh_ref,
+    gp, d1p, d2p, hp, cp, ap, *, ma, mi, go, ge, R, dt=None,
+):
+    """Multi-row wavefront tile with query-tile chaining (segments=1 only).
+
+    The realization of the reference's reserved module-chaining ports
+    (ScoreBank/ScoringModule_v1.1.v:36-54) on the fast kernel: this tile
+    holds 128 consecutive query rows; row 0 consumes the previous tile's
+    row-127 state from boundary strips instead of the zero boundary, and the
+    tile emits its own row-127 D/G/H per step for the next tile.
+
+    Alignment (host-applied shifts, sw_scores_stream_long): cell
+    (tile_row 0, col j) computes at step t = j and needs the upper tile's
+    col j (G, H: its step j + SL-1) and col j-1 (D: step j + SL-2), so
+    bG/bH[t] = oG/oH[t + SL-1] and bD[t] = oD[t + SL-2] of the tile above.
+    The H ripple is per-column (fixed j = t - sublane), so it chains across
+    tiles with no read-boundary handling; the tail accumulator (emission)
+    only matters on the last tile."""
+    S = q_ref.shape[1]
+    chunk = s_ref.shape[0]
+    SL = LANES // R
+    dt = dt or jnp.int32
+    zero = jnp.array(0, dt)
+    c = pl.program_id(0)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (SL, 1), 0)
+    row0 = row_iota == 0
+
+    @pl.when(c == 0)
+    def _init():
+        z = jnp.zeros((LANES, S), dt)
+        gp[...] = z
+        d1p[...] = z
+        d2p[...] = jnp.zeros((SL, S), dt)
+        hp[...] = jnp.zeros((SL, S), dt)
+        cp[...] = jnp.full((SL, S), 4, jnp.int32)
+        ap[...] = jnp.zeros(ap.shape, dt)
+
+    qs = [q_ref[r * SL : (r + 1) * SL, :].astype(jnp.int32) for r in range(R)]
+    sc = s_ref[...].astype(jnp.int32)
+    bD = bd_ref[...].astype(dt)
+    bG = bg_ref[...].astype(dt)
+    bH = bh_ref[...].astype(dt)
+    G = [gp[r * SL : (r + 1) * SL, :] for r in range(R)]
+    D = [d1p[r * SL : (r + 1) * SL, :] for r in range(R)]
+    D2L = d2p[...]
+    Hl = hp[...]
+    C = cp[...]
+    acc = ap[0, :]
+    oeme = jnp.array(go, dt)
+    gext = jnp.array(ge, dt)
+    strip_rows, od_rows, og_rows, oh_rows = [], [], [], []
+
+    for step in range(chunk):
+        C = pltpu.roll(C, 1, axis=0)
+        newc = sc[step : step + 1, :]
+        C = jnp.where(row0, newc, C)
+        f0 = C >= FLAG_BIT
+        cval = C & 7
+        # sub-row 0: row 0 of the tile takes the boundary strips, rows > 0
+        # take the rolled in-tile neighbours
+        s0 = jnp.where(cval == qs[0], ma, mi).astype(dt)
+        diag = jnp.where(
+            f0, zero,
+            jnp.where(row0, bD[step : step + 1, :], pltpu.roll(D2L, 1, axis=0)),
+        )
+        Mc = jnp.maximum(diag + s0, 0)
+        G_up = jnp.where(
+            row0, bG[step : step + 1, :], pltpu.roll(G[R - 1], 1, axis=0)
+        )
+        G_left = jnp.where(f0, zero, G[0])
+        Ic = jnp.maximum(G_up, G_left) + gext
+        Hcur = jnp.maximum(
+            jnp.where(row0, bH[step : step + 1, :], pltpu.roll(Hl, 1, axis=0)),
+            Mc,
+        )
+        newD = [jnp.maximum(Mc, Ic)]
+        newG = [jnp.maximum(Mc + oeme, Ic)]
+        for r in range(1, R):
+            sr = jnp.where(cval == qs[r], ma, mi).astype(dt)
+            diag_r = jnp.where(f0, zero, D[r - 1])
+            Mc = jnp.maximum(diag_r + sr, 0)
+            G_left = jnp.where(f0, zero, G[r])
+            Ic = jnp.maximum(newG[r - 1], G_left) + gext
+            Hcur = jnp.maximum(Hcur, Mc)
+            newD.append(jnp.maximum(Mc, Ic))
+            newG.append(jnp.maximum(Mc + oeme, Ic))
+        D2L = D[R - 1]
+        D = newD
+        G = newG
+        Hl = Hcur
+        tr = SL - 1
+        a = jnp.maximum(jnp.where(f0[tr, :], zero, acc), Hcur[tr, :])
+        acc = a
+        strip_rows.append(a[None, :].astype(jnp.int32))
+        od_rows.append(newD[R - 1][tr : tr + 1, :].astype(jnp.int32))
+        og_rows.append(newG[R - 1][tr : tr + 1, :].astype(jnp.int32))
+        oh_rows.append(Hcur[tr : tr + 1, :].astype(jnp.int32))
+
+    out_ref[...] = jnp.concatenate(strip_rows, axis=0)
+    od_ref[...] = jnp.concatenate(od_rows, axis=0)
+    og_ref[...] = jnp.concatenate(og_rows, axis=0)
+    oh_ref[...] = jnp.concatenate(oh_rows, axis=0)
+    for r in range(R):
+        gp[r * SL : (r + 1) * SL, :] = G[r]
+        d1p[r * SL : (r + 1) * SL, :] = D[r]
+    d2p[...] = D2L
+    hp[...] = Hl
+    cp[...] = C
+    ap[0, :] = acc
+
+
+def _strip_call_chained(
+    qT, streamT, bD, bG, bH, ma, mi, go, ge, interpret,
+    state_dtype="int32", rows=1, chunk=None,
+):
+    """One chained tile: qT [128, S], streamT [T, S], boundary strips
+    [T, S] -> (acc_strip, oD, oG, oH), each [T, S] int32."""
+    S = qT.shape[1]
+    T = streamT.shape[0]
+    if chunk is None:
+        chunk = 8 if (interpret or rows > 4) else 16
+    nc = T // chunk
+    dt = jnp.dtype(state_dtype).type if state_dtype != "int32" else jnp.int32
+    acc_rows = 16 if jnp.dtype(dt).itemsize == 2 else 8
+    SL = LANES // rows
+    kernel = functools.partial(
+        _stream_kernel_mr_chained, ma=ma, mi=mi, go=go, ge=ge, R=rows, dt=dt,
+    )
+    scratch = [
+        pltpu.VMEM((LANES, S), dt),
+        pltpu.VMEM((LANES, S), dt),
+        pltpu.VMEM((SL, S), dt),
+        pltpu.VMEM((SL, S), dt),
+        pltpu.VMEM((SL, S), jnp.int32),
+        pltpu.VMEM((acc_rows, S), dt),
+    ]
+    blk = lambda: pl.BlockSpec((chunk, S), lambda c: (c, 0), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((LANES, S), lambda c: (0, 0), memory_space=pltpu.VMEM),
+            blk(), blk(), blk(), blk(),
+        ],
+        out_specs=[blk(), blk(), blk(), blk()],
+        out_shape=[jax.ShapeDtypeStruct((T, S), jnp.int32)] * 4,
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=26 * S * LANES * T, bytes_accessed=(S * T) * 33,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
+        interpret=interpret,
+    )(
+        qT.astype(jnp.int8), streamT.astype(jnp.int8),
+        bD.astype(jnp.int32), bG.astype(jnp.int32), bH.astype(jnp.int32),
+    )
+    return outs
+
+
+def _shift_steps(x, k):
+    """x[t] <- x[t + k], zero-filled at the tail (step-axis left shift)."""
+    return jnp.pad(x[k:], ((0, k), (0, 0)))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("penalties", "interpret", "state_dtype", "rows"),
+)
+def sw_scores_stream_long(
+    q: jnp.ndarray,
+    stream: jnp.ndarray,
+    emit_stream: jnp.ndarray,
+    emit_step: jnp.ndarray,
+    penalties: Penalties = DEFAULT_PENALTIES,
+    interpret: bool = False,
+    state_dtype: str = "int32",
+    rows: int = 16,
+) -> jnp.ndarray:
+    """Streamed wavefront scoring for queries longer than 128 bases: chains
+    K = q.shape[1]/128 tiles of the multi-row kernel, carrying the row-127
+    D/G/H strips between tiles (the reference's chaining-port intent,
+    ScoreBank/ScoringModule_v1.1.v:36-54; LEN_WIDTH=12 -> 4095-base
+    envelope, ScoreBank_v2.v:14-15).
+
+    Args:
+      q: [N, K*128] int8 per-stream query codes, sentinel-padded (pads in
+        the last tile cannot raise H — pad rows only pass the ripple down).
+      stream: [N, T] packed streams from pack_streams_long (T includes
+        (128//rows - 1)*(K-1) extra drain steps).
+      emit_stream/emit_step: emission coordinates (drain = 128//rows - 1,
+        identical to the single-tile multi-row contract).
+
+    Returns [n_reads] int32 scores.
+    """
+    ma, mi, go, ge = penalties.astuple()
+    N, qlen = q.shape
+    if qlen % LANES:
+        raise ValueError(f"q width {qlen} must be a multiple of {LANES}")
+    if rows not in (1, 2, 4, 8, 16):
+        raise ValueError(f"rows {rows} must be one of 1/2/4/8/16")
+    K = qlen // LANES
+    SL = LANES // rows
+    T = stream.shape[1]
+    sk = stream.T  # [T, N]
+    # per-tile kernel-layout queries, stacked for the scan
+    qks = jnp.stack(
+        [
+            _q_kernel_layout(q[:, p * LANES : (p + 1) * LANES], 1, rows)
+            for p in range(K)
+        ]
+    )  # [K, 128, N]
+    zeros = jnp.zeros((T, N), jnp.int32)
+
+    def tile(carry, qk):
+        bD, bG, bH, _ = carry
+        acc, oD, oG, oH = _strip_call_chained(
+            qk, sk, bD, bG, bH, ma, mi, go, ge, interpret,
+            state_dtype=state_dtype, rows=rows,
+        )
+        # only the LAST tile's accumulator strip is the emission surface;
+        # carry it (overwritten each tile) instead of stacking K strips
+        nxt = (
+            _shift_steps(oD, SL - 2),
+            _shift_steps(oG, SL - 1),
+            _shift_steps(oH, SL - 1),
+            acc,
+        )
+        return nxt, None
+
+    (_, _, _, acc_last), _ = jax.lax.scan(
+        tile, (zeros, zeros, zeros, zeros), qks
+    )
+    strip = acc_last.T  # [N, T], final tile's accumulator strip
+    live = emit_step >= 0
+    safe_step = jnp.where(live, emit_step, 0)
+    scores = strip[emit_stream, safe_step]
+    return jnp.where(live, scores, 0).astype(jnp.int32)
+
+
 def _strip_call(
     qT, streamT, ma, mi, go, ge, interpret, seg=1, state_dtype="int32",
     tail_acc=True, rows=1, chunk=None,
@@ -359,25 +603,26 @@ def _strip_call(
     return out
 
 
-def _to_kernel_layout(q, stream, segments, rows=1):
-    """Logical [N, qcap] queries / [N, T] streams -> kernel layout
-    ([128, S_phys] and [T, N]) with logical stream n = g*S_phys + s mapping
-    to segment g of physical column s.
-
-    rows > 1 (multi-row kernel): query row i = k*rows + r of segment g maps
+def _q_kernel_layout(q, segments, rows=1):
+    """Logical [N, qcap] queries -> kernel register [128, S_phys]: logical
+    stream n = g*S_phys + s maps to segment g of physical column s; with
+    rows > 1 (multi-row kernel) query row i = k*rows + r of segment g maps
     to kernel row r*(128//rows) + g*SLg + k."""
     N, qcap = q.shape
     S_phys = N // segments
     if rows == 1:
-        qk = (
+        return (
             q.reshape(segments, S_phys, qcap).transpose(0, 2, 1)
             .reshape(LANES, S_phys)
         )
-    else:
-        SLg = LANES // rows // segments
-        q4 = q.reshape(segments, S_phys, SLg, rows)  # [g, s, k, r]
-        qk = q4.transpose(3, 0, 2, 1).reshape(LANES, S_phys)
-    return qk, stream.T
+    SLg = LANES // rows // segments
+    q4 = q.reshape(segments, S_phys, SLg, rows)  # [g, s, k, r]
+    return q4.transpose(3, 0, 2, 1).reshape(LANES, S_phys)
+
+
+def _to_kernel_layout(q, stream, segments, rows=1):
+    """(q, stream) -> ([128, S_phys], [T, N]); see _q_kernel_layout."""
+    return _q_kernel_layout(q, segments, rows), stream.T
 
 
 def _validate(q, stream, segments, interpret, rows=1, state_dtype="int32"):

@@ -223,3 +223,59 @@ def test_large_ragged_list_densifies_to_greedy_packing():
     )
     np.testing.assert_array_equal(big.emit_step[:1000], ref_chunks.emit_step)
     assert big.cells == sum(len(t) for t in reads) * 64
+
+
+def test_stream_long_kernel_matches_oracle():
+    # query-tile chaining: K 128-row wavefront tiles carry the tail-row
+    # D/G/H strips between tiles (the reference's reserved chaining ports,
+    # ScoreBank/ScoringModule_v1.1.v:36-54).  rows=2 keeps the interpret-mode
+    # kernel body small; rows=16 (the hardware default) is covered by the
+    # TPU-gated test below.
+    from swtpu.bank.streams import pack_streams_long
+    from swtpu.ops.pallas_stream import sw_scores_stream_long
+
+    rng = np.random.default_rng(500)
+    targets = _targets(rng, 8, lo=3, hi=50)
+    query = rng.integers(0, 4, size=300).astype(np.int8)  # K=3 tiles
+    want = score_many_vs_one(query, targets)
+    b = pack_streams_long(query, targets, n_streams=8, rows=2)
+    got = np.asarray(
+        sw_scores_stream_long(
+            b.q, b.stream, b.emit_stream, b.emit_step.astype(np.int32),
+            interpret=INTERPRET, rows=2,
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_stream_long_single_tile_matches_short_path():
+    # K=1 chaining (boundary strips all zero) must equal the plain kernel
+    from swtpu.bank.streams import pack_streams_long
+    from swtpu.ops.pallas_stream import sw_scores_stream_long
+
+    rng = np.random.default_rng(501)
+    targets = _targets(rng, 6, lo=2, hi=40)
+    query = rng.integers(0, 4, size=90).astype(np.int8)
+    want = score_many_vs_one(query, targets)
+    b = pack_streams_long(query, targets, n_streams=8, rows=1)
+    got = np.asarray(
+        sw_scores_stream_long(
+            b.q, b.stream, b.emit_stream, b.emit_step.astype(np.int32),
+            interpret=INTERPRET, rows=1,
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_scorebank_stream_long_query():
+    # ScoreBank routes >128-base queries to the chained stream path
+    rng = np.random.default_rng(502)
+    targets = _targets(rng, 10, lo=3, hi=60)
+    query = rng.integers(0, 4, size=257).astype(np.int8)
+    want = score_many_vs_one(query, targets)
+    from swtpu.bank import ScoreBank
+
+    bank = ScoreBank(SWConfig(block_pairs=32), backend="stream", interpret=INTERPRET)
+    res = bank.score_database(query, targets)
+    np.testing.assert_array_equal(res.scores, want)
+    assert res.cells == sum(257 * len(t) for t in targets)
