@@ -4,9 +4,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} and exits 0.
 Baseline = 256 GCUPS, the reference's whole 8-module FPGA ScoreBank
 (BASELINE.md: 8 modules x 128 PEs x 250 MHz, derived).
 
-Kernel under test: the streamed anti-diagonal wavefront
-(swtpu/ops/pallas_stream.py) fed by the round-robin stream packer — the
-TPU-native form of the reference's ScoringModule+feeder pipeline
+Kernel under test: the streamed multi-row anti-diagonal wavefront
+(swtpu/ops/pallas_stream.py, rows=16) fed by the round-robin stream packer —
+the TPU-native form of the reference's ScoringModule+feeder pipeline
 (ScoreBank/ScoringModule_v1.1.v, SM_Feeder2.v).
 
 Robustness: the TPU here sits behind a network tunnel that can wedge for
@@ -14,23 +14,30 @@ long stretches if a client dies mid-compile; a measurement that hangs must
 never take the driver down with it.  Structure:
   - every measurement runs in a CHILD process with its own hard timeout;
     a hung child is killed by exact PID and the parent moves on;
-  - stages run best-first (full-size stream kernel) and degrade (smaller
-    sizes, then the column kernel) so *some* nonzero measured number prints
-    before the deadline whenever the chip answers at all;
+  - the headline stage carries its own raw-throughput FLOOR: even if the
+    slope estimate degenerates, the stage returns cells/wall-time of a
+    k-kernel in-jit chain — an honest lower bound, never discarded;
+  - degraded stages (smaller chain, column kernel) follow, and the parent
+    emits the BEST number any stage produced: 0.0 is only possible if the
+    chip never answered at all;
   - a cheap probe (tiny device_put+op) gates the expensive stages and is
     retried, because wedges are transient;
   - the parent always prints the JSON line and exits 0 via os._exit.
 The persistent compile cache (.jaxcache, force-committed for the headline
 shapes) makes the happy path compile-free.
 
-Timing methodology (inside each stage): dispatch+D2H costs tens of ms over
-the tunnel and `block_until_ready` can return optimistically, so:
-  - results reduce on device (max + checksum + 64-score window) -> O(1) D2H;
-  - np.asarray (materialization) is the only reliable sync;
-  - a big and a small batch are timed and differenced, cancelling every
-    fixed cost (dispatch, sync, tunnel RTT);
-  - 64 scores are checked against the numpy oracle so the headline can
-    never come from a silently-wrong kernel.
+Timing methodology (inside the headline stage): dispatch+D2H costs tens of
+ms over the tunnel and `block_until_ready` can return optimistically, so:
+  - k data-dependent kernel calls run inside ONE jit via lax.scan (the body
+    compiles ONCE whatever k is — the round-2 unrolled chain recompiled the
+    kernel per call site and blew the compile budget);
+  - np.asarray (materialization) is the only reliable sync; only O(1)
+    reductions and a 64-score window leave the device;
+  - per-kernel device time = (T[k2]-T[k1])/(k2-k1): every fixed cost
+    (dispatch ~30ms, sync, tunnel RTT) cancels by construction;
+  - the k2 run's cells*k2/T[k2] is the floor if the slope degenerates;
+  - the 64-score window is checked against the numpy oracle so the headline
+    can never come from a silently-wrong kernel.
 """
 
 import json
@@ -44,13 +51,12 @@ METRIC = "GCUPS/chip (SW affine-gap scoring, 128x128)"
 DEADLINE_S = float(os.environ.get("SWTPU_BENCH_DEADLINE_S", "460"))
 S_STREAMS = int(os.environ.get("SWTPU_BENCH_STREAMS", "512"))
 STATE_DTYPE = os.environ.get("SWTPU_BENCH_STATE_DTYPE", "int32")
-SEGMENTS = int(os.environ.get("SWTPU_BENCH_SEGMENTS", "1"))
 ROWS = int(os.environ.get("SWTPU_BENCH_ROWS", "16"))
 
 
 # ---------------------------------------------------------------- stages --
 # Each stage is a function run in a child process; it prints one JSON line
-# {"gcups": x} on success.  Import jax only inside stages.
+# {"gcups": x, ...} on success.  Import jax only inside stages.
 
 def _enable_compile_cache():
     import jax
@@ -74,15 +80,9 @@ def stage_probe():
     return {"gcups": 0.0, "probe": v}
 
 
-def _measure_stream_chain(ks=(1, 9), B=65536):
-    """Steady-state kernel throughput via k data-dependent kernel calls
-    inside ONE jit: per-kernel device time = (T[k2]-T[k1])/(k2-k1), with
-    every fixed cost (dispatch ~30ms, D2H sync, tunnel RTT) cancelled by
-    construction — the jitter-immune method BENCH_NOTES.md documents.  The
-    big-minus-small subtraction stages remain as fallbacks; their fixed
-    costs drift between sizes on the tunnel (measured: 220 GCUPS captured
-    for a 323-GCUPS kernel), which this method is immune to.  A 64-score
-    oracle-parity window gathers from the final strip inside the same jit."""
+def _measure_scan_chain(B, ks, reps):
+    """k sequentially-dependent kernel calls inside ONE jit (lax.scan), for
+    k in `ks`.  Returns (gcups_slope_or_None, gcups_floor)."""
     import functools
 
     import numpy as np
@@ -96,38 +96,38 @@ def _measure_stream_chain(ks=(1, 9), B=65536):
     from swtpu.oracle import score_many_vs_one
 
     rng = np.random.default_rng(0)
-    m = n = 128 // SEGMENTS if SEGMENTS > 1 else 128
+    m = n = 128
     q = rng.integers(0, 4, size=m).astype(np.int8)
     t = rng.integers(0, 4, size=(B, n)).astype(np.int8)
-    b = pack_streams(q, t, n_streams=S_STREAMS, segments=SEGMENTS, rows=ROWS)
-    qk, sk = _to_kernel_layout(b.q, b.stream, SEGMENTS, ROWS)
+    b = pack_streams(q, t, n_streams=S_STREAMS, rows=ROWS)
+    qk, sk = _to_kernel_layout(b.q, b.stream, 1, ROWS)
     dq, ds = jax.device_put(qk), jax.device_put(sk)
     de_st = jax.device_put(b.emit_stream[:64].astype(np.int32))
     de_sp = jax.device_put(b.emit_step[:64].astype(np.int32))
     ma, mi, go, ge = DEFAULT_PENALTIES.astuple()
+    want = score_many_vs_one(q, t[:64])
 
     @functools.partial(jax.jit, static_argnames="k")
     def chain(qk, sk, es, ep, k):
-        acc = jnp.zeros((), jnp.int32)
-        s_in = sk
-        strip = None
-        for _ in range(k):
+        def body(carry, _):
+            qk_c, acc = carry
             strip = _strip_call(
-                qk, s_in, ma, mi, go, ge, False, seg=SEGMENTS,
+                qk_c, sk, ma, mi, go, ge, False,
                 state_dtype=STATE_DTYPE, rows=ROWS,
             )
             v = strip[-1, 0]  # data-dependent scalar
-            acc = acc + v
-            # force sequential dependence without changing the data
-            s_in = jnp.where(v < -(2 ** 30), s_in + jnp.int8(1), s_in)
-        return acc, strip[ep, es]
+            # force sequential dependence without changing the query values
+            qk_n = jnp.where(v < -(2 ** 30), qk_c + jnp.int8(1), qk_c)
+            return (qk_n, acc + v), strip[ep, es]
+
+        (_, acc), wins = jax.lax.scan(body, (qk, jnp.int32(0)), None, length=k)
+        return acc, wins[-1]
 
     times = {}
     for k in ks:
         t0 = time.time()
         out = [np.asarray(x) for x in chain(dq, ds, de_st, de_sp, k)]
         print(f"# chain k={k}: compile+warm {time.time()-t0:.0f}s", file=sys.stderr)
-        want = score_many_vs_one(q, t[:64])
         if not np.array_equal(out[1], want):
             raise RuntimeError(
                 f"parity check failed at k={k}: got {out[1][:8]} want {want[:8]}"
@@ -135,77 +135,35 @@ def _measure_stream_chain(ks=(1, 9), B=65536):
         best = min(
             (lambda t0: ([np.asarray(x) for x in chain(dq, ds, de_st, de_sp, k)],
                          time.time() - t0)[1])(time.time())
-            for _ in range(4)
+            for _ in range(reps)
         )
         times[k] = best
         print(f"# chain k={k}: {best*1e3:.1f} ms", file=sys.stderr)
     k1, k2 = ks[0], ks[-1]
+    floor = b.cells * k2 / times[k2] / 1e9
     per = (times[k2] - times[k1]) / (k2 - k1)
-    if per <= 0:
-        raise RuntimeError(f"non-positive slope: {times}")
-    return b.cells / per / 1e9
+    slope = None
+    # the slope is only trusted when the delta dominates tunnel jitter
+    # (round-2 lesson: an 8ms drift between runs flipped a 13ms delta
+    # negative and the whole number was discarded)
+    if per > 0 and (times[k2] - times[k1]) > 0.3 * times[k2]:
+        slope = b.cells / per / 1e9
+    return slope, floor
 
 
 def stage_stream_chain():
-    return {"gcups": _measure_stream_chain()}
-
-
-def _measure_stream(sizes, reps):
-    import numpy as np
-    import jax
-    import jax.numpy as jnp
-
-    _enable_compile_cache()
-    from swtpu.bank.streams import pack_streams
-    from swtpu.ops.pallas_stream import sw_scores_stream
-    from swtpu.oracle import score_many_vs_one
-
-    rng = np.random.default_rng(0)
-    m = n = 128 // SEGMENTS if SEGMENTS > 1 else 128
-
-    @jax.jit
-    def scored(q, stream, es, ep):
-        s = sw_scores_stream(
-            q, stream, es, ep, state_dtype=STATE_DTYPE, segments=SEGMENTS,
-            rows=ROWS,
-        )
-        # O(1) D2H: best hit + checksum + a 64-score parity window
-        return jnp.max(s), jnp.sum(s), s[:64]
-
-    q = rng.integers(0, 4, size=m).astype(np.int8)
-    times = {}
-    for B in sizes:
-        t = rng.integers(0, 4, size=(B, n)).astype(np.int8)
-        b = pack_streams(q, t, n_streams=S_STREAMS, segments=SEGMENTS, rows=ROWS)
-        dev = (
-            jax.device_put(b.q),
-            jax.device_put(b.stream),
-            jax.device_put(b.emit_stream),
-            jax.device_put(b.emit_step.astype(np.int32)),
-        )
-        run = lambda: [np.asarray(x) for x in scored(*dev)]
-        out = run()  # compile + warm
-        want = score_many_vs_one(q, t[:64])
-        if not np.array_equal(out[2], want):
-            raise RuntimeError(
-                f"parity check failed at B={B}: got {out[2][:8]} want {want[:8]}"
-            )
-        best = min(
-            (lambda t0: (run(), time.time() - t0)[1])(time.time())
-            for _ in range(reps)
-        )
-        times[B] = (b.cells, best)
-        print(f"# B={B}: {best*1e3:.1f} ms (cells={b.cells:.3g})", file=sys.stderr)
-    (c1, t1), (c2, t2) = times[sizes[0]], times[sizes[1]]
-    return (c2 - c1) / (t2 - t1) / 1e9
-
-
-def stage_stream_big():
-    return {"gcups": _measure_stream((32768, 262144), reps=6)}
+    """Headline: B=262144 targets, ks=(1, 33) — slope cancels all fixed
+    costs; the k=33 run is the raw floor."""
+    slope, floor = _measure_scan_chain(B=262144, ks=(1, 33), reps=4)
+    best = floor if slope is None else min(max(slope, floor), 3.0 * floor)
+    return {"gcups": best, "floor": floor, "slope": slope or 0.0}
 
 
 def stage_stream_small():
-    return {"gcups": _measure_stream((8192, 65536), reps=4)}
+    """Degraded: smaller batch (8MB stream), raw floor still honest."""
+    slope, floor = _measure_scan_chain(B=65536, ks=(1, 17), reps=4)
+    best = floor if slope is None else min(max(slope, floor), 3.0 * floor)
+    return {"gcups": best, "floor": floor, "slope": slope or 0.0}
 
 
 def stage_column():
@@ -229,7 +187,10 @@ def stage_column():
             for _ in range(3)
         )
         pts.append((B * m * n, best))
-    return {"gcups": (pts[1][0] - pts[0][0]) / (pts[1][1] - pts[0][1]) / 1e9}
+    d = pts[1][1] - pts[0][1]
+    if d > 0:
+        return {"gcups": (pts[1][0] - pts[0][0]) / d / 1e9}
+    return {"gcups": pts[1][0] / pts[1][1] / 1e9}  # raw lower bound
 
 
 def stage_cpu():
@@ -262,7 +223,6 @@ def stage_cpu():
 STAGES = {
     "probe": stage_probe,
     "stream_chain": stage_stream_chain,
-    "stream_big": stage_stream_big,
     "stream_small": stage_stream_small,
     "column": stage_column,
     "cpu": stage_cpu,
@@ -314,7 +274,7 @@ def _spawn(name, timeout_s):
             if "error" in res:
                 print(f"# stage {name}: error: {res['error']}", file=sys.stderr)
                 return None
-            print(f"# stage {name}: ok in {dt:.0f}s", file=sys.stderr)
+            print(f"# stage {name}: ok in {dt:.0f}s: {res}", file=sys.stderr)
             return res
     print(f"# stage {name}: no result (rc={proc.returncode})", file=sys.stderr)
     return None
@@ -361,20 +321,24 @@ def main():
         print("# TPU unreachable after retries", file=sys.stderr)
         emit(0.0)
 
-    # 2) staged measurement, best first
+    # 2) staged measurement: best-first, each stage self-contains its floor;
+    # the parent keeps the best number seen and emits it at the end — a
+    # successful headline stage emits immediately
+    best = 0.0
     plan = [
-        ("stream_chain", 330),
-        ("stream_big", 250),
-        ("stream_small", 200),
-        ("column", 150),
+        ("stream_chain", 300, True),
+        ("stream_small", 180, False),
+        ("column", 150, False),
     ]
-    for name, need in plan:
-        if budget() < 60:
+    for name, need, is_headline in plan:
+        if budget() < 45:
             break
         res = _spawn(name, min(need, budget() - 15))
         if res and res.get("gcups", 0) > 0:
-            emit(res["gcups"])
-    emit(0.0)
+            best = max(best, res["gcups"])
+            if is_headline:
+                break
+    emit(best)
 
 
 if __name__ == "__main__":

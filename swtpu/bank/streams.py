@@ -131,6 +131,22 @@ def pack_streams(
             query, targets.astype(np.int8, copy=False),
             np.full(n_reads, targets.shape[1], np.int32), S, segments, rows,
         )
+    return _pack_streams_greedy(query, targets, S, segments, rows)
+
+
+def _pack_streams_greedy(
+    query: np.ndarray,
+    targets: Sequence[np.ndarray],
+    S: int,
+    segments: int,
+    rows: int = 1,
+) -> StreamBatch:
+    """Pure-Python greedy shortest-stream packing (the reference semantics);
+    terminal — never re-dispatches to the dense/native paths, so it is the
+    safe fallback when the native toolchain is unavailable."""
+    qcap = LANES // segments
+    drain = LANES // (rows * segments) - 1
+    n_reads = len(targets)
     chunks: List[List[np.ndarray]] = [[] for _ in range(S)]
     fill = np.zeros(S, dtype=np.int64)
     emit_stream = np.zeros(n_reads, dtype=np.int32)
@@ -163,7 +179,23 @@ def pack_streams(
 
     q = np.full((S, qcap), Q_PAD, dtype=np.int8)
     q[:, : len(query)] = np.asarray(query, dtype=np.int8)[None, :]
-    return StreamBatch(q, stream, emit_stream, emit_step, cells, segments, rows)
+    return StreamBatch(
+        q, stream, emit_stream, _check_emit_step(emit_step), cells, segments,
+        rows,
+    )
+
+
+def _check_emit_step(emit_step: np.ndarray) -> np.ndarray:
+    """Emission steps index the [S, T] strip and every kernel consumes them
+    as int32; a stream longer than 2^31 steps would silently wrap at the
+    cast.  Validate once at pack time (the only place the true int64 value
+    exists)."""
+    if emit_step.size and int(emit_step.max()) >= 2**31:
+        raise ValueError(
+            "stream exceeds 2^31 steps; emission coordinates would overflow "
+            "int32 — split the database into smaller batches"
+        )
+    return emit_step
 
 
 def pack_streams_long(
@@ -226,17 +258,23 @@ def _pack_streams_dense(
             tmat, lens, emit_stream, emit_step, drain, FLAG, T, S, STREAM_PAD
         )
     except RuntimeError:
-        return pack_streams(
+        # no native toolchain: run the terminal greedy packer directly (a
+        # pack_streams() call here would re-enter the densify branch and
+        # recurse forever on >=1024-read ragged lists)
+        return _pack_streams_greedy(
             query,
             [tmat[i, : lens[i]] for i in range(n_reads)],
-            n_streams=S,
-            segments=segments,
-            rows=rows,
+            S,
+            segments,
+            rows,
         )
     q = np.full((S, qcap), Q_PAD, dtype=np.int8)
     q[:, : len(query)] = np.asarray(query, dtype=np.int8)[None, :]
     cells = int(len(query)) * int(lens.astype(np.int64).sum())
-    return StreamBatch(q, stream, emit_stream, emit_step, cells, segments, rows)
+    return StreamBatch(
+        q, stream, emit_stream, _check_emit_step(emit_step), cells, segments,
+        rows,
+    )
 
 
 def _pack_streams_equal(
@@ -262,7 +300,115 @@ def _pack_streams_equal(
     q = np.full((S, qcap), Q_PAD, dtype=np.int8)
     q[:, : len(query)] = np.asarray(query, dtype=np.int8)[None, :]
     return StreamBatch(
-        q, stream, emit_stream, emit_step, len(query) * B * n, segments, rows
+        q, stream, emit_stream, _check_emit_step(emit_step),
+        len(query) * B * n, segments, rows
+    )
+
+
+def pack_pair_streams(
+    queries: Sequence[np.ndarray],
+    targets: Sequence[np.ndarray],
+    n_streams: int = 256,
+    segments: int = 1,
+    rows: int = 1,
+) -> StreamBatch:
+    """Pack explicit (query, target) pairs onto the wavefront: each logical
+    stream holds ONE query in its per-stream query register (the kernel's q
+    is already per-stream — the reference's per-module `ld_q`,
+    ScoreBank/ScoreBank_v2.v:99-102), and every pair's target rides a stream
+    owned by its query.
+
+    Streams are allocated to distinct queries proportionally to their total
+    target chars (at least one each); within a query's streams, targets go
+    greedy-shortest-stream.  Raises if there are more distinct queries than
+    logical streams — chunk the pair set upstream (ScoreBank.score_pairs
+    does).  Emission coordinates use the same drain contract as
+    pack_streams."""
+    if len(queries) != len(targets):
+        raise ValueError("queries and targets must pair up")
+    qcap = LANES // segments
+    drain = LANES // (rows * segments) - 1
+    n = len(queries)
+    S = n_streams
+    # dedupe queries by content; pairs sharing a query share its streams
+    uid_by_key = {}
+    qlist: List[np.ndarray] = []
+    uid = np.empty(n, np.int32)
+    for i, qq in enumerate(queries):
+        qq = np.asarray(qq, dtype=np.int8)
+        if len(qq) > qcap:
+            raise ValueError(
+                f"query of {len(qq)} bases exceeds capacity {qcap} at "
+                f"segments={segments}"
+            )
+        key = qq.tobytes()
+        u = uid_by_key.get(key)
+        if u is None:
+            u = uid_by_key[key] = len(qlist)
+            qlist.append(qq)
+        uid[i] = u
+    U = len(qlist)
+    if U > S:
+        raise ValueError(
+            f"{U} distinct queries exceed {S} logical streams; split the "
+            "pair set into chunks of <= n_streams distinct queries"
+        )
+    load = np.zeros(U, np.int64)
+    for i in range(n):
+        load[uid[i]] += len(targets[i])
+    # largest-remainder proportional stream allocation, >= 1 per query
+    total = max(int(load.sum()), 1)
+    want = load.astype(np.float64) * S / total
+    alloc = np.maximum(np.floor(want).astype(np.int64), 1)
+    while alloc.sum() > S:
+        alloc[int(np.argmax(alloc))] -= 1
+    # spread leftovers to the largest fractional remainders
+    rema = want - np.floor(want)
+    while alloc.sum() < S:
+        k = int(np.argmax(rema))
+        alloc[k] += 1
+        rema[k] = -1.0
+    first = np.zeros(U, np.int64)
+    np.cumsum(alloc[:-1], out=first[1:])
+    # greedy shortest-stream within each query's stream span
+    fill = np.zeros(S, dtype=np.int64)
+    chunks: List[List[np.ndarray]] = [[] for _ in range(S)]
+    emit_stream = np.zeros(n, dtype=np.int32)
+    emit_step = np.zeros(n, dtype=np.int64)
+    cells = 0
+    for i in range(n):
+        t = np.asarray(targets[i], dtype=np.int8)
+        if len(t) == 0:
+            emit_stream[i] = 0
+            emit_step[i] = -1
+            continue
+        u = uid[i]
+        lo, hi = int(first[u]), int(first[u] + alloc[u])
+        s = lo + int(np.argmin(fill[lo:hi]))
+        flagged = t.copy()
+        flagged[0] |= FLAG
+        chunks[s].append(flagged)
+        emit_stream[i] = s
+        emit_step[i] = fill[s] + len(t) - 1 + drain
+        fill[s] += len(t)
+        cells += len(qlist[u]) * len(t)
+
+    from swtpu.ops.pallas_stream import STEP_CHUNK
+
+    T = int(fill.max()) + drain if n else STEP_CHUNK
+    T = -(-T // STEP_CHUNK) * STEP_CHUNK
+    stream = np.full((S, T), STREAM_PAD, dtype=np.int8)
+    for s in range(S):
+        if chunks[s]:
+            cat = np.concatenate(chunks[s])
+            stream[s, : len(cat)] = cat
+    q = np.full((S, qcap), Q_PAD, dtype=np.int8)
+    for u in range(U):
+        qq = qlist[u]
+        q[int(first[u]) : int(first[u] + alloc[u]), : len(qq)] = qq[None, :]
+    return StreamBatch(
+        q, stream, emit_stream, _check_emit_step(emit_step), cells, segments,
+        rows,
     )
 
 

@@ -523,6 +523,31 @@ def sw_scores_stream_long(
     return jnp.where(live, scores, 0).astype(jnp.int32)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("penalties", "interpret", "state_dtype", "rows"),
+)
+def sw_scores_stream_long_packed(
+    q: jnp.ndarray,
+    codes: jnp.ndarray,
+    flags: jnp.ndarray,
+    emit_stream: jnp.ndarray,
+    emit_step: jnp.ndarray,
+    penalties: Penalties = DEFAULT_PENALTIES,
+    interpret: bool = False,
+    state_dtype: str = "int32",
+    rows: int = 16,
+) -> jnp.ndarray:
+    """sw_scores_stream_long on the 2-bit wire format: the stream crosses
+    H2D at 2.5 bits/char (pack_stream_wire) and expands on device, so long
+    queries get the same 3.2x transfer cut as the short-query path."""
+    stream = unpack_stream_wire(codes, flags)
+    return sw_scores_stream_long(
+        q, stream, emit_stream, emit_step, penalties=penalties,
+        interpret=interpret, state_dtype=state_dtype, rows=rows,
+    )
+
+
 def _strip_call(
     qT, streamT, ma, mi, go, ge, interpret, seg=1, state_dtype="int32",
     tail_acc=True, rows=1, chunk=None,

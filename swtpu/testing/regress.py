@@ -36,6 +36,7 @@ class MultihostResult:
     top_ids: np.ndarray
     attempts: int
     killed_pids: List[int]
+    bad_shards: List[int] = dataclasses.field(default_factory=list)
 
 
 def run_multihost(
@@ -48,10 +49,21 @@ def run_multihost(
     kill_after_s: float = 1.0,
     max_attempts: int = 3,
     timeout_s: float = 300.0,
+    adversary_worker: Optional[int] = None,
+    adversary_mode: str = "corrupt",
+    audit_rows: int = 4,
 ) -> MultihostResult:
     """Score (q, t) across `nprocs` localhost processes; returns merged,
     cross-checked results.  If kill_worker is set, that worker is SIGKILLed
-    on the first attempt and the whole job re-runs (shard-rerun recovery)."""
+    on the first attempt and the whole job re-runs (shard-rerun recovery).
+
+    If adversary_worker is set, that worker acts as a lying device (the
+    PSLSE Test-AFU analog: fake hardware that misbehaves,
+    pslse-master/test/afu/AFU.cpp) on EVERY attempt; the driver must catch
+    it — via the checksum cross-check (guards.checksum, the odd-parity
+    analog), the algebraic score-bound check, or an independent oracle
+    audit of `audit_rows` sample rows per shard — and recover by re-scoring
+    the bad shard itself (shard-rerun recovery, SURVEY.md §5)."""
     B = q.shape[0]
     assert B % nprocs == 0
     killed: List[int] = []
@@ -75,6 +87,8 @@ def run_multihost(
                     "--input", str(inp), "--output", str(out),
                     "--topk", str(topk),
                 ]
+                if adversary_worker == pid:
+                    cmd += ["--adversary", adversary_mode]
                 procs.append(subprocess.Popen(cmd, env=env, cwd=str(Path(__file__).parents[2])))
             do_kill = kill_worker is not None and attempt == 1
             if do_kill:
@@ -96,6 +110,7 @@ def run_multihost(
             scores = np.zeros((B,), np.int32)
             top_s = top_ids = None
             ok = True
+            shard_rows_of = {}
             for pid in range(nprocs):
                 f = tdp / f"out_{pid}.npz"
                 if not f.exists():
@@ -103,11 +118,63 @@ def run_multihost(
                     break
                 d = np.load(f)
                 scores[d["local_rows"]] = d["local_scores"]
+                shard_rows_of[pid] = (d["local_rows"], d)
                 if top_s is None:
                     top_s, top_ids = d["top_s"], d["top_ids"]
                 else:
                     if not (np.array_equal(top_s, d["top_s"]) and np.array_equal(top_ids, d["top_ids"])):
                         raise AssertionError("workers disagree on merged top-K")
-            if ok:
-                return MultihostResult(scores, top_s, top_ids, attempt, killed)
+            if not ok:
+                continue
+            # device-boundary integrity pass (the parity/check_errors
+            # analog): checksum, score bounds, then an independent oracle
+            # audit of a few rows per shard — catches a shard whose
+            # *device* lies even when every process exits 0
+            bad = _find_bad_shards(q, t, shard_rows_of, audit_rows)
+            if bad:
+                # shard-rerun recovery: re-score ONLY the bad shards with
+                # the host kernel and rebuild the merged top-K
+                from swtpu.ops.scan import sw_scores_scan
+
+                for pid in bad:
+                    rows = shard_rows_of[pid][0]
+                    scores[rows] = np.asarray(sw_scores_scan(q[rows], t[rows]))
+                order = np.argsort(-scores, kind="stable")[: len(top_s)]
+                top_s = scores[order].astype(top_s.dtype)
+                top_ids = ids[order].astype(top_ids.dtype)
+            return MultihostResult(
+                scores, top_s, top_ids, attempt, killed, list(bad)
+            )
     raise RuntimeError(f"multihost job failed after {max_attempts} attempts")
+
+
+def _find_bad_shards(q, t, shard_rows_of, audit_rows: int) -> List[int]:
+    """Integrity checks per shard: (1) guards.checksum of the delivered
+    score payload vs the worker's checksum (wire corruption); (2) algebraic
+    score bounds (guards.check_scores); (3) oracle audit — re-score
+    `audit_rows` evenly-spaced rows with the independent numpy oracle."""
+    from swtpu.oracle import sw_score_single
+    from swtpu.utils.guards import IntegrityError, check_scores, checksum
+
+    bad: List[int] = []
+    for pid, (rows, d) in sorted(shard_rows_of.items()):
+        s = d["local_scores"]
+        if "checksum" in d and int(d["checksum"]) != checksum(np.asarray(s)):
+            bad.append(pid)
+            continue
+        try:
+            check_scores(
+                s, np.full(len(rows), q.shape[1]), np.full(len(rows), t.shape[1]),
+                match=5,
+            )
+        except IntegrityError:
+            bad.append(pid)
+            continue
+        n = len(rows)
+        sample = np.unique(np.linspace(0, n - 1, min(audit_rows, n)).astype(int))
+        for k in sample:
+            r = int(rows[k])
+            if int(s[k]) != sw_score_single(q[r], t[r]):
+                bad.append(pid)
+                break
+    return bad

@@ -36,6 +36,7 @@ DEFAULT_SUITE: Dict[str, Any] = {
         "corruption_inject",
         "resume",
         "topk_merge",
+        "lying_device",  # runs only when multihost is enabled
     ],
     "multihost": {"enabled": False, "nprocs": 2},
 }
@@ -154,6 +155,22 @@ def run_suite(
         outcomes.append(
             TestOutcome("multihost", -1, bool(np.array_equal(res.scores, want)))
         )
+        if "lying_device" in cfg["tests"]:
+            # the Test-AFU analog: one shard's device returns wrong scores;
+            # the driver must detect (checksum/oracle audit) and heal by
+            # re-scoring the shard
+            res = run_multihost(
+                q, t, np.arange(B, dtype=np.int32), nprocs=nprocs,
+                adversary_worker=nprocs - 1, adversary_mode="corrupt",
+            )
+            outcomes.append(
+                TestOutcome(
+                    "lying_device", -1,
+                    res.bad_shards == [nprocs - 1]
+                    and bool(np.array_equal(res.scores, want)),
+                    f"bad_shards={res.bad_shards}",
+                )
+            )
     return outcomes
 
 

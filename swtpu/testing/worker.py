@@ -25,6 +25,15 @@ def main(argv=None) -> int:
     ap.add_argument("--output", required=True)
     ap.add_argument("--topk", type=int, default=4)
     ap.add_argument("--delay-ms", type=int, default=0, help="injected startup delay")
+    ap.add_argument(
+        "--adversary", default="",
+        choices=["", "corrupt", "corrupt_wire"],
+        help="act as a lying device (the PSLSE Test-AFU analog, "
+        "pslse-master/test/afu/): 'corrupt' returns wrong scores with a "
+        "consistent checksum (caught by the driver's oracle audit); "
+        "'corrupt_wire' corrupts after checksumming (caught by the "
+        "checksum cross-check)",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -72,6 +81,22 @@ def main(argv=None) -> int:
     local_rows = np.concatenate(
         [np.arange(*s.index[0].indices(B)[:2]) for s in scores.addressable_shards]
     )
+    from swtpu.utils.guards import checksum
+
+    if args.adversary == "corrupt":
+        # a device-boundary liar: plausible-looking wrong scores, checksum
+        # computed AFTER the lie so the wire check passes — only the
+        # driver's independent oracle audit can catch this
+        local_scores = local_scores + 37
+        csum = checksum(local_scores)
+    elif args.adversary == "corrupt_wire":
+        # corruption between compute and the result transfer: checksum is
+        # of the true scores, payload differs — the driver's checksum
+        # cross-check catches it (the odd-parity-bit analog)
+        csum = checksum(local_scores)
+        local_scores = local_scores ^ 0x55
+    else:
+        csum = checksum(local_scores)
     np.savez(
         args.output,
         top_s=np.asarray(top_s),
@@ -79,6 +104,7 @@ def main(argv=None) -> int:
         local_scores=local_scores,
         local_rows=local_rows,
         pid=args.pid,
+        checksum=csum,
     )
     return 0
 

@@ -55,3 +55,27 @@ def test_worker_kill_detection_and_rerun():
     np.testing.assert_array_equal(res.scores, want)
     assert res.attempts >= 2  # first attempt died, job recovered
     assert res.killed_pids == [1]
+
+
+@pytest.mark.multihost
+@pytest.mark.parametrize("mode", ["corrupt", "corrupt_wire"])
+def test_lying_device_detected_and_shard_rerun(mode):
+    # the Test-AFU analog (pslse-master/test/afu/): one shard's *device*
+    # returns wrong scores while its process exits cleanly.  The driver must
+    # detect it (checksum cross-check for wire corruption, oracle audit for
+    # a consistent liar) and recover by re-scoring just that shard.
+    from swtpu.testing.regress import run_multihost
+
+    rng = np.random.default_rng(3)
+    B, m, n = 16, 12, 20
+    q = rng.integers(0, 4, size=(B, m)).astype(np.int8)
+    t = rng.integers(0, 4, size=(B, n)).astype(np.int8)
+    ids = np.arange(B, dtype=np.int32)
+    want = sw_score_batch(q, t)
+    res = run_multihost(
+        q, t, ids, nprocs=2, adversary_worker=1, adversary_mode=mode,
+    )
+    assert res.bad_shards == [1]  # detection fired on the lying shard only
+    np.testing.assert_array_equal(res.scores, want)  # recovery healed it
+    for s, i in zip(res.top_s, res.top_ids):
+        assert want[i] == s

@@ -146,6 +146,10 @@ def test_multirow_stream_matches_oracle(rows):
 
 @pytest.mark.parametrize("rows,segments", [(2, 2), (4, 4), (8, 2), (16, 2), (16, 4)])
 def test_multirow_segmented_stream(rows, segments):
+    if rows == 16 and segments > 1 and not INTERPRET:
+        # measured Mosaic limitation (_validate raises): rows=16 supports
+        # segments=1 only on hardware; the config stays interpret-verified
+        pytest.skip("rows=16 segmented is interpret-only (Mosaic limitation)")
     rng = np.random.default_rng(200 + rows + segments)
     targets = _targets(rng, 13, lo=2, hi=40)
     qcap = 128 // segments
@@ -171,6 +175,11 @@ def test_multirow_full_length_query():
 
 
 @pytest.mark.parametrize("rows", [1, 8])
+@pytest.mark.skipif(
+    not INTERPRET,
+    reason="Mosaic rejects 16-bit sublane rotates on TPU (BENCH_NOTES.md); "
+    "int16 stays a CPU-verified numeric-width check",
+)
 def test_stream_int16_state(rows):
     # int16 state is exact for all reachable scores (max 128*5=640; G >= -12,
     # I >= -16 — bounded, SURVEY.md §0); the accumulator scratch widens to a
@@ -225,6 +234,27 @@ def test_large_ragged_list_densifies_to_greedy_packing():
     assert big.cells == sum(len(t) for t in reads) * 64
 
 
+def test_large_ragged_list_without_native_toolchain(monkeypatch):
+    # regression (round-2 advisor, high): with the native packer unavailable,
+    # a >=1024-read ragged list must fall back to the terminal greedy loop
+    # instead of recursing pack_streams -> _pack_streams_dense -> pack_streams
+    import swtpu.runtime.native as native
+
+    monkeypatch.setattr(native, "native_available", lambda: False)
+    rng = np.random.default_rng(11)
+    reads = [
+        rng.integers(0, 4, size=int(n)).astype(np.int8)
+        for n in rng.integers(1, 50, size=1100)
+    ]
+    q = rng.integers(0, 4, size=40).astype(np.int8)
+    b = pack_streams(q, reads, n_streams=16)
+    assert b.cells == sum(len(t) for t in reads) * 40
+    # same packing as the native/dense path would produce
+    ref = pack_streams(q, reads[:512], n_streams=16)
+    np.testing.assert_array_equal(b.emit_stream[:512], ref.emit_stream)
+    np.testing.assert_array_equal(b.emit_step[:512], ref.emit_step)
+
+
 def test_stream_long_kernel_matches_oracle():
     # query-tile chaining: K 128-row wavefront tiles carry the tail-row
     # D/G/H strips between tiles (the reference's reserved chaining ports,
@@ -262,6 +292,27 @@ def test_stream_long_single_tile_matches_short_path():
         sw_scores_stream_long(
             b.q, b.stream, b.emit_stream, b.emit_step.astype(np.int32),
             interpret=INTERPRET, rows=1,
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_stream_long_packed_wire_parity():
+    # long-query path on the 2-bit wire format (round-2 advisor, low):
+    # identical scores to the unpacked chained kernel
+    from swtpu.bank.streams import pack_stream_wire, pack_streams_long
+    from swtpu.ops.pallas_stream import sw_scores_stream_long_packed
+
+    rng = np.random.default_rng(503)
+    targets = _targets(rng, 7, lo=3, hi=45)
+    query = rng.integers(0, 4, size=200).astype(np.int8)  # K=2 tiles
+    want = score_many_vs_one(query, targets)
+    b = pack_streams_long(query, targets, n_streams=8, rows=2)
+    codes, flags = pack_stream_wire(b.stream)
+    got = np.asarray(
+        sw_scores_stream_long_packed(
+            b.q, codes, flags, b.emit_stream, b.emit_step.astype(np.int32),
+            interpret=INTERPRET, rows=2,
         )
     )
     np.testing.assert_array_equal(got, want)
