@@ -88,6 +88,7 @@ def test_pallas_long_query_sublane():
 # 256-row tiles — the realization of the reference's reserved chaining ports
 # (ScoreBank/ScoringModule_v1.1.v:36-54) up to the LEN_WIDTH=12 -> 4095-base
 # envelope (ScoreBank/ScoreBank_v2.v:14-15).
+@pytest.mark.slow  # interpret-mode build of the chained kernel: 18-97s each
 @pytest.mark.parametrize(
     "B,m,n,seed",
     [(6, 300, 48, 5), (4, 1024, 32, 6), (3, 4000, 24, 7)],
@@ -106,6 +107,7 @@ def test_pallas_chained_long_query(B, m, n, seed):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_pallas_chained_gap_spans_tiles():
     # a long gap crossing the tile boundary exercises the I-strip carry
     rng = np.random.default_rng(9)

@@ -130,7 +130,10 @@ def test_stream_wire_roundtrip_and_parity():
     np.testing.assert_array_equal(got, got_ref)
 
 
-@pytest.mark.parametrize("rows", [2, 4, 8, 16])
+@pytest.mark.parametrize(
+    "rows",
+    [2, 4, 8, pytest.param(16, marks=pytest.mark.slow)],  # R=16 interpret: 46s
+)
 def test_multirow_stream_matches_oracle(rows):
     # multi-row kernel (R query rows folded per sublane): same scores,
     # smaller drain, R-fold fewer sublane rolls
@@ -144,7 +147,14 @@ def test_multirow_stream_matches_oracle(rows):
     np.testing.assert_array_equal(got, want)
 
 
-@pytest.mark.parametrize("rows,segments", [(2, 2), (4, 4), (8, 2), (16, 2), (16, 4)])
+@pytest.mark.parametrize(
+    "rows,segments",
+    [
+        (2, 2), (4, 4), (8, 2),
+        pytest.param(16, 2, marks=pytest.mark.slow),
+        pytest.param(16, 4, marks=pytest.mark.slow),
+    ],
+)
 def test_multirow_segmented_stream(rows, segments):
     if rows == 16 and segments > 1 and not INTERPRET:
         # measured Mosaic limitation (_validate raises): rows=16 supports
@@ -191,6 +201,22 @@ def test_stream_int16_state(rows):
     got = score_streams(
         query, targets, n_streams=8, interpret=INTERPRET, rows=rows,
         state_dtype="int16",
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("rows", [1, 4])
+def test_stream_float32_state(rows):
+    # f32 state is exact for all reachable scores (integers well inside the
+    # 2^24 mantissa); a live throughput lever on hardware (BENCH_NOTES.md
+    # microbench: f32 add/max faster than int32 in latency-bound chains)
+    rng = np.random.default_rng(600 + rows)
+    targets = _targets(rng, 12, lo=2, hi=70)
+    query = rng.integers(0, 4, size=97).astype(np.int8)
+    want = score_many_vs_one(query, targets)
+    got = score_streams(
+        query, targets, n_streams=8, interpret=INTERPRET, rows=rows,
+        state_dtype="float32",
     )
     np.testing.assert_array_equal(got, want)
 
