@@ -50,8 +50,13 @@ BASELINE_GCUPS = 256.0
 METRIC = "GCUPS/chip (SW affine-gap scoring, 128x128)"
 DEADLINE_S = float(os.environ.get("SWTPU_BENCH_DEADLINE_S", "460"))
 S_STREAMS = int(os.environ.get("SWTPU_BENCH_STREAMS", "512"))
-STATE_DTYPE = os.environ.get("SWTPU_BENCH_STATE_DTYPE", "int32")
+STATE_DTYPE = os.environ.get("SWTPU_BENCH_STATE_DTYPE", "float32")
 ROWS = int(os.environ.get("SWTPU_BENCH_ROWS", "16"))
+# ks override lets the TPU campaign warm each scan length in its own
+# process (persistent cache) so no single run exceeds the task cap
+KS = tuple(
+    int(x) for x in os.environ.get("SWTPU_BENCH_KS", "").split(",") if x
+)
 
 
 # ---------------------------------------------------------------- stages --
@@ -80,7 +85,7 @@ def stage_probe():
     return {"gcups": 0.0, "probe": v}
 
 
-def _measure_scan_chain(B, ks, reps):
+def _measure_scan_chain(B, ks, reps, state_dtype=None):
     """k sequentially-dependent kernel calls inside ONE jit (lax.scan), for
     k in `ks`.  Returns (gcups_slope_or_None, gcups_floor)."""
     import functools
@@ -106,6 +111,7 @@ def _measure_scan_chain(B, ks, reps):
     de_sp = jax.device_put(b.emit_step[:64].astype(np.int32))
     ma, mi, go, ge = DEFAULT_PENALTIES.astuple()
     want = score_many_vs_one(q, t[:64])
+    dtype = state_dtype or STATE_DTYPE
 
     @functools.partial(jax.jit, static_argnames="k")
     def chain(qk, sk, es, ep, k):
@@ -113,7 +119,7 @@ def _measure_scan_chain(B, ks, reps):
             qk_c, acc = carry
             strip = _strip_call(
                 qk_c, sk, ma, mi, go, ge, False,
-                state_dtype=STATE_DTYPE, rows=ROWS,
+                state_dtype=dtype, rows=ROWS,
             )
             v = strip[-1, 0]  # data-dependent scalar
             # force sequential dependence without changing the query values
@@ -141,6 +147,8 @@ def _measure_scan_chain(B, ks, reps):
         print(f"# chain k={k}: {best*1e3:.1f} ms", file=sys.stderr)
     k1, k2 = ks[0], ks[-1]
     floor = b.cells * k2 / times[k2] / 1e9
+    if k1 == k2:
+        return None, floor  # warm-only run: no slope
     per = (times[k2] - times[k1]) / (k2 - k1)
     slope = None
     # the slope is only trusted when the delta dominates tunnel jitter
@@ -154,14 +162,25 @@ def _measure_scan_chain(B, ks, reps):
 def stage_stream_chain():
     """Headline: B=262144 targets, ks=(1, 33) — slope cancels all fixed
     costs; the k=33 run is the raw floor."""
-    slope, floor = _measure_scan_chain(B=262144, ks=(1, 33), reps=4)
+    slope, floor = _measure_scan_chain(B=262144, ks=KS or (1, 33), reps=4)
+    best = floor if slope is None else min(max(slope, floor), 3.0 * floor)
+    return {"gcups": best, "floor": floor, "slope": slope or 0.0}
+
+
+def stage_stream_chain_i32():
+    """Insurance: the headline chain with int32 state (the round-2-measured
+    323-GCUPS config) in case the f32 default ever fails its parity check
+    on a new toolchain."""
+    slope, floor = _measure_scan_chain(
+        B=262144, ks=KS or (1, 33), reps=4, state_dtype="int32"
+    )
     best = floor if slope is None else min(max(slope, floor), 3.0 * floor)
     return {"gcups": best, "floor": floor, "slope": slope or 0.0}
 
 
 def stage_stream_small():
     """Degraded: smaller batch (8MB stream), raw floor still honest."""
-    slope, floor = _measure_scan_chain(B=65536, ks=(1, 17), reps=4)
+    slope, floor = _measure_scan_chain(B=65536, ks=KS or (1, 17), reps=4)
     best = floor if slope is None else min(max(slope, floor), 3.0 * floor)
     return {"gcups": best, "floor": floor, "slope": slope or 0.0}
 
@@ -223,6 +242,7 @@ def stage_cpu():
 STAGES = {
     "probe": stage_probe,
     "stream_chain": stage_stream_chain,
+    "stream_chain_i32": stage_stream_chain_i32,
     "stream_small": stage_stream_small,
     "column": stage_column,
     "cpu": stage_cpu,
@@ -326,9 +346,10 @@ def main():
     # successful headline stage emits immediately
     best = 0.0
     plan = [
-        ("stream_chain", 300, True),
-        ("stream_small", 180, False),
-        ("column", 150, False),
+        ("stream_chain", 280, True),
+        ("stream_chain_i32", 200, True),
+        ("stream_small", 150, False),
+        ("column", 120, False),
     ]
     for name, need, is_headline in plan:
         if budget() < 45:

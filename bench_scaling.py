@@ -131,13 +131,18 @@ def main():
 
 
 def main_multihost():
+    import os
+
     import numpy as np
 
     from swtpu.testing.regress import run_multihost
 
     rng = np.random.default_rng(0)
     m = n = 64
-    per_proc = 64
+    # per-process work is constant across process counts, so ideal scaling
+    # = constant wall time; raise SWTPU_SCALING_PER_PROC to amortize the
+    # jax.distributed startup cost (~3 s/run) into the measurement
+    per_proc = int(os.environ.get("SWTPU_SCALING_PER_PROC", "64"))
     results = {}
     for nprocs in (1, 2, 4):
         B = per_proc * nprocs

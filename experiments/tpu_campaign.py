@@ -21,6 +21,33 @@ ROOT = Path(__file__).resolve().parents[1]
 LOG = ROOT / "experiments" / "campaign.log"
 
 QUEUES = {
+    # round 3: make the driver bench real (scan-chain stages, warmed per-k),
+    # confirm f32 parity on hardware, prewarm the graft entry, measure the
+    # long-query chained path and many-vs-many pair streams, then rehearse
+    # the exact driver command end-to-end
+    "r3": [
+        (["experiments/tpu_step.py", "parity_r16_f32"], 560),
+        (["experiments/tpu_step.py", "parity_r8_f32"], 560),
+        (["experiments/tpu_step.py", "bench_warm_k1"], 560),
+        (["experiments/tpu_step.py", "bench_warm_k33"], 560),
+        (["experiments/tpu_step.py", "bench_chain"], 560),
+        (["experiments/tpu_step.py", "bench_warm_i32_k1"], 560),
+        (["experiments/tpu_step.py", "bench_warm_i32_k33"], 560),
+        (["experiments/tpu_step.py", "warm_entry"], 560),
+        (["experiments/tpu_step.py", "bench_small_warm"], 560),
+        (["experiments/tpu_step.py", "long_k4_w1"], 560),
+        (["experiments/tpu_step.py", "long_k4"], 560),
+        (["experiments/tpu_step.py", "long_k2_w1"], 560),
+        (["experiments/tpu_step.py", "long_k2"], 560),
+        (["experiments/tpu_step.py", "long_k16_w1"], 560),
+        (["experiments/tpu_step.py", "long_k16"], 560),
+        (["experiments/tpu_step.py", "pairs_w1"], 560),
+        (["experiments/tpu_step.py", "pairs"], 560),
+        (["experiments/tpu_step.py", "e2e_data1"], 560),
+        (["experiments/tpu_step.py", "e2e_data100"], 560),
+        (["experiments/tpu_step.py", "e2e_data500"], 560),
+        (["bench.py"], 560),
+    ],
     "perf1": [
         # (argv, timeout_s)
         (["experiments/tpu_step.py", "probe"], 120),

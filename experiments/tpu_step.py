@@ -297,6 +297,181 @@ def warm_bench():
         log(f"bench shapes {sizes} warmed: {g:.1f} GCUPS")
 
 
+def _bench_stage(name, **env):
+    """Run one bench.py stage in-process (env set before bench imports)."""
+    import os
+
+    os.environ.update(env)
+    import bench
+
+    res = bench.STAGES[name]()
+    log(f"bench stage {name} env={env}: {res}")
+
+
+def warm_entry():
+    """Compile __graft_entry__.entry()'s exact jit into .jaxcache (the
+    driver compile-checks it; the entry is force-committed)."""
+    import importlib.util
+
+    from swtpu.oracle import score_many_vs_one
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", str(Path(__file__).parents[1] / "__graft_entry__.py")
+    )
+    ge = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ge)
+    fn, args = ge.entry()
+    t0 = time.time()
+    out = np.asarray(jax.jit(fn)(*args))
+    log(f"entry compiled+ran in {time.time()-t0:.0f}s, out shape {out.shape}")
+    # parity of the first 64 scores vs the oracle (args are the packed batch)
+    rng = np.random.default_rng(0)
+    q = rng.integers(0, 4, size=128).astype(np.int8)
+    t = rng.integers(0, 4, size=(8192, 128)).astype(np.int8)
+    want = score_many_vs_one(q, t[:64])
+    ok = np.array_equal(out[:64], want)
+    log(f"entry parity first-64: {'OK' if ok else 'MISMATCH'}")
+
+
+def _chain_long(K, ks=(1, 5), state_dtype="float32", rows=16, S=512, B=65536):
+    """Long-query chained-tile kernel (sw_scores_stream_long) throughput via
+    the in-jit scan-chain method, with a 64-read parity window."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from swtpu.bank.streams import pack_streams_long
+    from swtpu.oracle import score_many_vs_one
+    from swtpu.ops.pallas_stream import sw_scores_stream_long
+
+    rng = np.random.default_rng(0)
+    m, n = K * 128, 128
+    query = rng.integers(0, 4, size=m).astype(np.int8)
+    th = rng.integers(0, 4, size=(B, n)).astype(np.int8)
+    b = pack_streams_long(
+        query, th, n_streams=S, rows=rows,
+        lens=np.full(B, n, np.int32),
+    )
+    dq, ds_ = jax.device_put(b.q), jax.device_put(b.stream)
+    es = jax.device_put(b.emit_stream[:64])
+    ep = jax.device_put(b.emit_step[:64].astype(np.int32))
+    want = score_many_vs_one(query, th[:64])
+    cells = b.cells
+
+    @functools.partial(jax.jit, static_argnames="k")
+    def chain(q, stream, es, ep, k):
+        def body(carry, _):
+            q_c, acc = carry
+            s = sw_scores_stream_long(
+                q_c, stream, es, ep, state_dtype=state_dtype, rows=rows,
+            )
+            v = s[0]
+            q_n = jnp.where(v < -(2**30), q_c + jnp.int8(1), q_c)
+            return (q_n, acc + v), s
+
+        (_, acc), ys = jax.lax.scan(body, (q, jnp.int32(0)), None, length=k)
+        return acc, ys[-1]
+
+    times = {}
+    for k in ks:
+        t0 = time.time()
+        out = [np.asarray(x) for x in chain(dq, ds_, es, ep, k)]
+        log(f"long K={K} k={k}: compile+warm {time.time()-t0:.0f}s")
+        ok = np.array_equal(out[1], want)
+        log(f"long K={K} parity first-64: {'OK' if ok else 'MISMATCH'}")
+        if not ok:
+            return
+        best = 1e9
+        for _ in range(3):
+            t0 = time.time()
+            _ = [np.asarray(x) for x in chain(dq, ds_, es, ep, k)]
+            best = min(best, time.time() - t0)
+        times[k] = best
+        log(f"long K={K} k={k}: {best*1e3:.1f} ms")
+    if len(ks) < 2:
+        return
+    k1, k2 = ks[0], ks[-1]
+    per = (times[k2] - times[k1]) / (k2 - k1)
+    log(
+        f"stream_long K={K} S={S} {state_dtype} rows={rows} chained: "
+        f"{per*1e3:.2f} ms/kernel -> {cells/per/1e9:.1f} GCUPS "
+        f"(floor {cells*k2/times[k2]/1e9:.1f})"
+    )
+
+
+def _chain_pairs(ks=(1, 5), state_dtype="float32", rows=16, S=512,
+                 U=64, per_q=4096):
+    """Many-vs-many (pack_pair_streams: distinct queries in per-stream query
+    registers) throughput via the scan-chain method + 64-pair parity."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from swtpu.bank.streams import pack_pair_streams
+    from swtpu.config import DEFAULT_PENALTIES as pen
+    from swtpu.oracle import sw_score_batch
+    from swtpu.ops.pallas_stream import _strip_call, _to_kernel_layout
+
+    rng = np.random.default_rng(0)
+    n = 128
+    qpool = [rng.integers(0, 4, size=128).astype(np.int8) for _ in range(U)]
+    B = U * per_q
+    th = rng.integers(0, 4, size=(B, n)).astype(np.int8)
+    queries = [qpool[i % U] for i in range(B)]
+    t0 = time.time()
+    b = pack_pair_streams(queries, list(th), n_streams=S, rows=rows)
+    log(f"pack_pair_streams: {B} pairs, {U} queries in {time.time()-t0:.1f}s "
+        f"T={b.stream.shape[1]}")
+    qk, sk = _to_kernel_layout(b.q, b.stream, 1, rows)
+    dq, ds_ = jax.device_put(qk), jax.device_put(sk)
+    es = jax.device_put(b.emit_stream[:64])
+    ep = jax.device_put(b.emit_step[:64].astype(np.int32))
+    want = sw_score_batch(
+        np.stack(queries[:64]), th[:64],
+    )
+    ma, mi, go, ge = pen.astuple()
+    cells = b.cells
+
+    @functools.partial(jax.jit, static_argnames="k")
+    def chain(qk, sk, es, ep, k):
+        def body(carry, _):
+            qk_c, acc = carry
+            strip = _strip_call(qk_c, sk, ma, mi, go, ge, False,
+                                state_dtype=state_dtype, rows=rows)
+            v = strip[-1, 0]
+            qk_n = jnp.where(v < -(2**30), qk_c + jnp.int8(1), qk_c)
+            return (qk_n, acc + v), strip[ep, es]
+
+        (_, acc), ys = jax.lax.scan(body, (qk, jnp.int32(0)), None, length=k)
+        return acc, ys[-1]
+
+    times = {}
+    for k in ks:
+        t0 = time.time()
+        out = [np.asarray(x) for x in chain(dq, ds_, es, ep, k)]
+        log(f"pairs k={k}: compile+warm {time.time()-t0:.0f}s")
+        ok = np.array_equal(out[1], want)
+        log(f"pairs parity first-64: {'OK' if ok else 'MISMATCH'}")
+        if not ok:
+            return
+        best = 1e9
+        for _ in range(3):
+            t0 = time.time()
+            _ = [np.asarray(x) for x in chain(dq, ds_, es, ep, k)]
+            best = min(best, time.time() - t0)
+        times[k] = best
+        log(f"pairs k={k}: {best*1e3:.1f} ms")
+    if len(ks) < 2:
+        return
+    k1, k2 = ks[0], ks[-1]
+    per = (times[k2] - times[k1]) / (k2 - k1)
+    log(
+        f"pair_streams U={U} S={S} {state_dtype} rows={rows} chained: "
+        f"{per*1e3:.2f} ms/kernel -> {cells/per/1e9:.1f} GCUPS "
+        f"(floor {cells*k2/times[k2]/1e9:.1f})"
+    )
+
+
 STEPS = {
     "probe": probe,
     "warm_bench": warm_bench,
@@ -348,6 +523,27 @@ STEPS = {
     "warm_r4_i16_k1": lambda: _chain_stream(512, ks=(1,), rows=4, state_dtype="int16"),
     "warm_r4_i16_k5": lambda: _chain_stream(512, ks=(5,), rows=4, state_dtype="int16"),
     "chain_stream_r4_i16": lambda: _chain_stream(512, ks=(1, 5), rows=4, state_dtype="int16"),
+    # round-3 steps: bench.py headline stages (warmed per-k), f32 parity,
+    # graft-entry prewarm, long-query chained timing, many-vs-many timing
+    "parity_r16_f32": lambda: _parity_rows(16, state_dtype="float32"),
+    "parity_r8_f32": lambda: _parity_rows(8, state_dtype="float32"),
+    "bench_warm_k1": lambda: _bench_stage("stream_chain", SWTPU_BENCH_KS="1"),
+    "bench_warm_k33": lambda: _bench_stage("stream_chain", SWTPU_BENCH_KS="33"),
+    "bench_chain": lambda: _bench_stage("stream_chain"),
+    "bench_warm_i32_k1": lambda: _bench_stage("stream_chain_i32", SWTPU_BENCH_KS="1"),
+    "bench_warm_i32_k33": lambda: _bench_stage("stream_chain_i32", SWTPU_BENCH_KS="33"),
+    "bench_chain_i32": lambda: _bench_stage("stream_chain_i32"),
+    "bench_small_warm": lambda: _bench_stage("stream_small"),
+    "warm_entry": warm_entry,
+    "long_k2_w1": lambda: _chain_long(2, ks=(1,)),
+    "long_k2": lambda: _chain_long(2, ks=(1, 5)),
+    "long_k4_w1": lambda: _chain_long(4, ks=(1,)),
+    "long_k4": lambda: _chain_long(4, ks=(1, 5)),
+    "long_k16_w1": lambda: _chain_long(16, ks=(1,)),
+    "long_k16": lambda: _chain_long(16, ks=(1, 3)),
+    "long_k4_i32": lambda: _chain_long(4, ks=(1, 5), state_dtype="int32"),
+    "pairs_w1": lambda: _chain_pairs(ks=(1,)),
+    "pairs": lambda: _chain_pairs(ks=(1, 5)),
     "e2e_data1": lambda: _e2e_dataset("data1.fa", "query1.fa", scale=1 << 18),
     "e2e_data100": lambda: _e2e_dataset("data100.fa", "query100.fa", scale=1 << 18),
     "e2e_data500": lambda: _e2e_dataset("data500.fa", "query100.fa"),

@@ -95,6 +95,15 @@ class ScoreBank:
         # score bounds; cheap relative to scoring, off by default in prod
         self.verify_integrity = verify_integrity
 
+    def _stream_dtype(self) -> str:
+        sdt = self.config.stream_state_dtype
+        if sdt == "auto":
+            # float32 is exact for every reachable score and measured ~15%
+            # faster than int32 at rows=16 (BENCH_NOTES.md); interpret/test
+            # mode stays int32 for bit-identical CPU goldens
+            return "int32" if self._interpret else "float32"
+        return sdt
+
     def _score_batch(self, q: np.ndarray, t: np.ndarray) -> np.ndarray:
         pen = self.config.penalties
         if callable(self.backend):
@@ -290,6 +299,7 @@ class ScoreBank:
                     batch.emit_stream, batch.emit_step.astype(np.int32),
                     self.config.penalties, interpret=self._interpret,
                     segments=segments, rows=rows,
+                    state_dtype=self._stream_dtype(),
                 )
             )
             scores[np.asarray(idxs, np.int64)] = s
@@ -336,7 +346,7 @@ class ScoreBank:
                     batch.q, codes, flags,
                     batch.emit_stream, batch.emit_step.astype(np.int32),
                     self.config.penalties, interpret=self._interpret,
-                    rows=rows,
+                    rows=rows, state_dtype=self._stream_dtype(),
                 )
             )
         else:
@@ -345,6 +355,7 @@ class ScoreBank:
                     batch.q, batch.stream,
                     batch.emit_stream, batch.emit_step.astype(np.int32),
                     self.config.penalties, interpret=self._interpret, rows=rows,
+                    state_dtype=self._stream_dtype(),
                 )
             )
         elapsed = time.perf_counter() - t0
@@ -413,6 +424,7 @@ class ScoreBank:
                     batch.emit_stream, batch.emit_step.astype(np.int32),
                     self.config.penalties, interpret=self._interpret,
                     segments=segments, rows=rows,
+                    state_dtype=self._stream_dtype(),
                 )
             )
         else:
@@ -422,6 +434,7 @@ class ScoreBank:
                     batch.emit_stream, batch.emit_step.astype(np.int32),
                     self.config.penalties, interpret=self._interpret,
                     segments=segments, rows=rows,
+                    state_dtype=self._stream_dtype(),
                 )
             )
         elapsed = time.perf_counter() - t0

@@ -91,3 +91,8 @@ class SWConfig:
     # `rows`.  0 = auto (pick the fastest measured config for the segment
     # count); 1 = classic one-row wavefront.
     stream_rows: int = 0
+    # DP state dtype in the stream kernel.  "auto" = float32 on hardware
+    # (exact for every reachable score — integers far inside the 2^24
+    # mantissa — and measured ~15% faster than int32 at rows=16,
+    # BENCH_NOTES.md), int32 in interpret/test mode.
+    stream_state_dtype: str = "auto"
