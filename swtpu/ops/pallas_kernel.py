@@ -51,7 +51,10 @@ def _shift_down(x: jnp.ndarray, k: int, fill: jnp.ndarray, row_iota) -> jnp.ndar
 T_CHUNK = 32
 
 
-def _sw_kernel(q_ref, t_ref, out_ref, *, ma, mi, go, ge, unroll, chunk, dt=jnp.int32):
+def _sw_kernel(
+    q_ref, t_ref, out_ref, *, ma, mi, go, ge, unroll, chunk, dt=jnp.int32,
+    biased_width=None,
+):
     m, bt = q_ref.shape
     n = t_ref.shape[0]
     # f32 state is exact for integer scores below 2^24; int16 holds scores
@@ -63,13 +66,28 @@ def _sw_kernel(q_ref, t_ref, out_ref, *, ma, mi, go, ge, unroll, chunk, dt=jnp.i
     else:
         neg = jnp.array(-(2**30), dt)
     zero = jnp.array(0, dt)
+    if biased_width is not None:
+        # SCORE_WIDTH wrap-parity mode: state holds W-bit *biased unsigned*
+        # values (score + 2^(W-1)) in 32-bit lanes (the VPU has no 12-bit
+        # datapath — the RTL's register width is emulated, not stored).
+        # Only the M update needs the wrap (`& mask`) + sign-bit clamp
+        # (SW_ProcessingElement_v1.0.v:15-20 + the M_bus select): the I
+        # chain provably never wraps step-wise, because every cell refreshes
+        # it with M_open >= ZERO + open + extend > 0 (requires
+        # 2^(W-1) >= |open+extend| + |extend|, validated by the caller), so
+        # its max-plus prefix scan runs in plain arithmetic — masking inside
+        # the scan would be WRONG: a k-jump (x + k*ge) can dip below zero
+        # and wrap even though no sequential step would.
+        mask = jnp.array((1 << biased_width) - 1, dt)
+        zbit = jnp.array(1 << (biased_width - 1), dt)
+        zero = zbit  # biased representation of score 0 (boundary ties)
     row_iota = jax.lax.broadcasted_iota(dt, (m, 1), 0)
     # compare in int32 so the predicate has int32 layout (int8 i1 vectors
     # force an unsupported relayout on current Mosaic)
     q = q_ref[:, :].astype(dt)
     # candidate fed to row 0 by the boundary I[-1][j] = 0 (RTL ZERO ties,
     # SW_ProcessingElement_v1.0.v:156-164)
-    i0_bias = jnp.where(row_iota == 0, jnp.array(ge, dt), neg)
+    i0_bias = jnp.where(row_iota == 0, zero + jnp.array(ge, dt), neg)
     oe = jnp.array(go + ge, dt)
     gext = jnp.array(ge, dt)
 
@@ -78,7 +96,11 @@ def _sw_kernel(q_ref, t_ref, out_ref, *, ma, mi, go, ge, unroll, chunk, dt=jnp.i
         s = jnp.where(q == t_row, ma, mi).astype(dt)
         diag = jnp.maximum(M, I)
         diag_s = _shift_down(diag, 1, zero, row_iota)
-        M_new = jnp.maximum(diag_s + s, 0)
+        if biased_width is not None:
+            ms = (diag_s + s) & mask
+            M_new = jnp.where((ms & zbit) != 0, ms, zbit)
+        else:
+            M_new = jnp.maximum(diag_s + s, 0)
         M_up = _shift_down(M_new, 1, zero, row_iota)
         base = jnp.maximum(
             jnp.maximum(M_up, M) + oe,
@@ -101,17 +123,17 @@ def _sw_kernel(q_ref, t_ref, out_ref, *, ma, mi, go, ge, unroll, chunk, dt=jnp.i
         return carry
 
     init = (
-        jnp.zeros((m, bt), dt),
-        jnp.zeros((m, bt), dt),  # boundary column I = 0 (RTL ZERO tie)
-        jnp.zeros((m, bt), dt),
+        jnp.full((m, bt), zero, dt),
+        jnp.full((m, bt), zero, dt),  # boundary column I = 0 (RTL ZERO tie)
+        jnp.full((m, bt), zero, dt),
     )
     _, _, H = jax.lax.fori_loop(0, n // chunk, chunk_step, init, unroll=unroll)
-    out_ref[0, :] = jnp.max(H, axis=0).astype(jnp.int32)
+    out_ref[0, :] = (jnp.max(H, axis=0) - zero).astype(jnp.int32)
 
 
 def _sw_kernel_chained(
     q_ref, t_ref, ms_ref, is_ref, h_ref, out_h, out_ms, out_is,
-    *, ma, mi, go, ge, unroll, chunk, dt=jnp.int32,
+    *, ma, mi, go, ge, unroll, chunk, dt=jnp.int32, biased_width=None,
 ):
     """One query tile of the chained DP: rows [tile*mt, tile*mt+mt) of the
     full query, all target columns.
@@ -131,6 +153,15 @@ def _sw_kernel_chained(
         neg = jnp.array(-(2**13), dt)
     else:
         neg = jnp.array(-(2**30), dt)
+    zero = jnp.array(0, dt)
+    if biased_width is not None:
+        # SCORE_WIDTH wrap-parity (see _sw_kernel: only the M update wraps;
+        # the I path provably never does for validated widths); the
+        # inter-tile strips carry biased values so wrap semantics survive
+        # chaining.
+        mask = jnp.array((1 << biased_width) - 1, dt)
+        zbit = jnp.array(1 << (biased_width - 1), dt)
+        zero = zbit
     row_iota = jax.lax.broadcasted_iota(dt, (mt, 1), 0)
     row0 = row_iota == 0
     q = q_ref[:, :].astype(dt)
@@ -143,7 +174,11 @@ def _sw_kernel_chained(
         diag = jnp.maximum(M, I)
         # row 0's diagonal neighbour is (prev tile's last row, j-1)
         diag_s = jnp.where(row0, dprev, pltpu.roll(diag, 1, axis=0))
-        M_new = jnp.maximum(diag_s + s, 0)
+        if biased_width is not None:
+            ms = (diag_s + s) & mask
+            M_new = jnp.where((ms & zbit) != 0, ms, zbit)
+        else:
+            M_new = jnp.maximum(diag_s + s, 0)
         # row 0's up-neighbour M is the incoming strip at column j
         M_up = jnp.where(row0, ms_j, pltpu.roll(M_new, 1, axis=0))
         # row 0's intra-column I seed: I(prev last row, j) + ge
@@ -185,10 +220,10 @@ def _sw_kernel_chained(
         return carry
 
     init = (
-        jnp.zeros((mt, bt), dt),
-        jnp.zeros((mt, bt), dt),
-        jnp.zeros((mt, bt), dt),
-        jnp.zeros((1, bt), dt),  # diag at column -1 = zero boundary
+        jnp.full((mt, bt), zero, dt),
+        jnp.full((mt, bt), zero, dt),
+        jnp.full((mt, bt), zero, dt),
+        jnp.full((1, bt), zero, dt),  # diag at column -1 = zero boundary
     )
     carry = jax.lax.fori_loop(0, n // chunk, chunk_step, init, unroll=unroll)
     H = carry[2]
@@ -222,7 +257,10 @@ def _block_pairs_chained(n: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("penalties", "block_pairs", "interpret", "unroll", "state_dtype"),
+    static_argnames=(
+        "penalties", "block_pairs", "interpret", "unroll", "state_dtype",
+        "score_width",
+    ),
 )
 def sw_scores_pallas(
     q: jnp.ndarray,
@@ -232,6 +270,7 @@ def sw_scores_pallas(
     interpret: bool = False,
     unroll: int = 4,
     state_dtype: str = "int32",
+    score_width: int = 12,
 ) -> jnp.ndarray:
     """Score a batch of (query, target) pairs on TPU.
 
@@ -242,6 +281,12 @@ def sw_scores_pallas(
       block_pairs: pairs per kernel block (lane-tiled); auto if None.
       interpret: run in Pallas interpreter mode (CPU testing).
       unroll: inner-loop unroll factor.
+      state_dtype: "int32" (exact, default) | "float32" | "int16" (narrow
+        exact modes) | "int16_biased" — SCORE_WIDTH wrap-parity mode that
+        reproduces the RTL's biased `score_width`-bit register arithmetic
+        including overflow wrap + sign-bit clamp (oracle:
+        `sw_score_single_biased`; SW_ProcessingElement_v1.0.v:15-20).
+      score_width: register width for "int16_biased" (RTL default 12).
 
     Returns: [B] int32 scores.
     """
@@ -250,6 +295,18 @@ def sw_scores_pallas(
     ma, mi, go, ge = penalties.astuple()
     B, m = q.shape
     n = t.shape[1]
+    biased_width = None
+    if state_dtype == "int16_biased":
+        # 32-bit lanes carry the W-bit biased values; the emulated register
+        # width is score_width, not the lane width.  The no-wrap proof for
+        # the I chain needs ZERO + open + 2*extend >= 0 (see _sw_kernel).
+        if (1 << (score_width - 1)) + (go + ge) + ge < 0:
+            raise ValueError(
+                f"score_width={score_width} too narrow for penalties "
+                f"(need 2^(W-1) >= {-(go + 2 * ge)})"
+            )
+        biased_width = score_width
+        state_dtype = "int32"
     dt = jnp.dtype(state_dtype).type if state_dtype != "int32" else jnp.int32
     chained = m > QUERY_TILE
     if chained:
@@ -282,12 +339,13 @@ def sw_scores_pallas(
 
     if chained:
         return _chained_call(
-            qT, tT, ma, mi, go, ge, interpret, unroll, chunk, dt, bt, nb
+            qT, tT, ma, mi, go, ge, interpret, unroll, chunk, dt, bt, nb,
+            biased_width=biased_width,
         )[0, :B]
 
     kernel = functools.partial(
         _sw_kernel, ma=ma, mi=mi, go=go, ge=ge, unroll=unroll, chunk=chunk,
-        dt=dt,
+        dt=dt, biased_width=biased_width,
     )
     out = pl.pallas_call(
         kernel,
@@ -306,7 +364,10 @@ def sw_scores_pallas(
     return out[0, :B]
 
 
-def _chained_call(qT, tT, ma, mi, go, ge, interpret, unroll, chunk, dt, bt, nb):
+def _chained_call(
+    qT, tT, ma, mi, go, ge, interpret, unroll, chunk, dt, bt, nb,
+    biased_width=None,
+):
     """Chain QUERY_TILE-row kernel invocations over the query dimension,
     threading last-row M/I strips and the running high score through HBM
     between tiles (SURVEY.md §5 long-context; the chaining-ports analog)."""
@@ -315,13 +376,15 @@ def _chained_call(qT, tT, ma, mi, go, ge, interpret, unroll, chunk, dt, bt, nb):
     mt = QUERY_TILE
     kernel = functools.partial(
         _sw_kernel_chained, ma=ma, mi=mi, go=go, ge=ge, unroll=unroll,
-        chunk=chunk, dt=dt,
+        chunk=chunk, dt=dt, biased_width=biased_width,
     )
     strip_spec = pl.BlockSpec((n, bt), lambda b: (0, b), memory_space=pltpu.VMEM)
     h_spec = pl.BlockSpec((1, bt), lambda b: (0, b), memory_space=pltpu.VMEM)
-    h = jnp.zeros((1, Bp), jnp.int32)
-    ms = jnp.zeros((n, Bp), jnp.int32)
-    is_ = jnp.zeros((n, Bp), jnp.int32)
+    # boundary strips/high score: biased zero when wrap-parity is on
+    z0 = (1 << (biased_width - 1)) if biased_width is not None else 0
+    h = jnp.full((1, Bp), z0, jnp.int32)
+    ms = jnp.full((n, Bp), z0, jnp.int32)
+    is_ = jnp.full((n, Bp), z0, jnp.int32)
     for k in range(m // mt):
         qtile = jax.lax.slice(qT, (k * mt, 0), ((k + 1) * mt, Bp))
         h, ms, is_ = pl.pallas_call(
@@ -347,4 +410,4 @@ def _chained_call(qT, tT, ma, mi, go, ge, interpret, unroll, chunk, dt, bt, nb):
             ),
             interpret=interpret,
         )(qtile, tT, ms, is_, h)
-    return h
+    return h - z0

@@ -159,6 +159,51 @@ def biased_view(scores: np.ndarray, score_width: int = 12) -> np.ndarray:
     return ((np.asarray(scores, np.int64) + zero) & mask) - zero
 
 
+def sw_score_single_biased(
+    query: np.ndarray,
+    target: np.ndarray,
+    penalties: Penalties = DEFAULT_PENALTIES,
+    score_width: int = 12,
+) -> int:
+    """Score one pair in the RTL's *actual* register arithmetic: every
+    quantity is a SCORE_WIDTH-bit unsigned value biased by ZERO =
+    2**(score_width-1); additions wrap modulo 2**score_width; max is the
+    unsigned compare; and the clamp-at-zero is the sign-bit test
+    ``M_bus = M_score if M_score[W-1] else ZERO``
+    (SW_ProcessingElement_v1.0.v:15-20, 88-97 of the score stage).
+
+    Consequence: a score that crosses 2**(score_width-1)-1 wraps, loses its
+    sign bit, and is clamped back to zero in that cell — the hardware's
+    overflow behavior, reproduced here as the semantic contract for the
+    kernels' ``state_dtype="int16_biased"`` mode.  For scores that stay in
+    range this equals ``sw_score_single`` (and ``biased_view`` is the
+    identity), which is what makes the int32 kernels bit-compatible with
+    the 12-bit hardware on the reference datasets.
+    """
+    q = np.asarray(query)
+    t = np.asarray(target)
+    ma, mi, go, ge = penalties.astuple()
+    w = score_width
+    mask = (1 << w) - 1
+    zero = 1 << (w - 1)  # biased representation of score 0
+    m, n = len(q), len(t)
+    # biased state, boundary = ZERO (the RTL ties chain inputs to ZERO)
+    M = np.full((m + 1, n + 1), zero, dtype=np.int64)
+    I = np.full((m + 1, n + 1), zero, dtype=np.int64)
+    best = zero
+    for i in range(1, m + 1):
+        for j in range(1, n + 1):
+            s = ma if q[i - 1] == t[j - 1] else mi
+            diag_max = max(M[i - 1, j - 1], I[i - 1, j - 1])  # unsigned max
+            M_score = (diag_max + s) & mask  # wraps mod 2^W
+            M[i, j] = M_score if (M_score & zero) else zero  # sign-bit clamp
+            M_open = (max(M[i - 1, j], M[i, j - 1]) + go + ge) & mask
+            I_extend = (max(I[i - 1, j], I[i, j - 1]) + ge) & mask
+            I[i, j] = max(M_open, I_extend)
+            best = max(best, M[i, j])
+    return int(best - zero)
+
+
 def score_many_vs_one(
     query: np.ndarray,
     targets: Sequence[np.ndarray],

@@ -1,0 +1,156 @@
+"""SCORE_WIDTH wrap-parity: the `int16_biased` kernel mode vs the biased
+oracle (component #30, SURVEY.md §0).
+
+The RTL carries every score in a SCORE_WIDTH-bit unsigned register biased by
+ZERO = 2**(SCORE_WIDTH-1) (SW_ProcessingElement_v1.0.v:15-20): adds wrap
+modulo 2**W, max is the unsigned compare, and the clamp-at-zero is the
+sign-bit test on M_score.  A score crossing 2**(W-1)-1 therefore wraps and
+is clamped back to zero in that cell.  `sw_score_single_biased` is the
+sequential contract for those semantics; the kernels' state_dtype
+"int16_biased" reproduces them vectorized (32-bit lanes carrying W-bit
+biased values — the VPU has no 12-bit datapath, so the register *width* is
+emulated, not stored).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from swtpu.ops import sentinel_pad_batch
+from swtpu.ops.pallas_kernel import sw_scores_pallas
+from swtpu.oracle import (
+    biased_view,
+    sw_score_batch,
+    sw_score_single,
+    sw_score_single_biased,
+)
+
+INTERPRET = jax.default_backend() != "tpu"
+
+
+def _biased_batch(qs, q_lens, ts, t_lens, score_width):
+    return np.array(
+        [
+            sw_score_single_biased(
+                qs[i, : q_lens[i]], ts[i, : t_lens[i]], score_width=score_width
+            )
+            for i in range(len(q_lens))
+        ],
+        dtype=np.int32,
+    )
+
+
+def test_biased_oracle_in_range_is_exact():
+    # While scores fit the 12-bit window, biased arithmetic is the identity:
+    # biased == exact == biased_view(exact).  This equivalence is why the
+    # int32 kernels are bit-compatible with the 12-bit hardware.
+    rng = np.random.default_rng(0)
+    for _ in range(6):
+        q = rng.integers(0, 4, size=rng.integers(4, 40)).astype(np.int8)
+        t = rng.integers(0, 4, size=rng.integers(4, 40)).astype(np.int8)
+        exact = sw_score_single(q, t)
+        got = sw_score_single_biased(q, t, score_width=12)
+        assert got == exact
+        assert got == int(biased_view(np.array([exact]))[0])
+
+
+def test_biased_oracle_wraps_on_overflow():
+    # An identical 128-base pair scores 640 exactly — past a 10-bit
+    # register's +511 ceiling.  The hardware wraps M past the top, loses the
+    # sign bit, and clamps to zero; the running high score keeps the last
+    # in-range value of the climb, not the true 640.
+    seq = np.tile(np.arange(4, dtype=np.int8), 32)  # 128 bases
+    exact = sw_score_single(seq, seq)
+    assert exact == 640
+    got = sw_score_single_biased(seq, seq, score_width=10)
+    assert got < exact
+    # climb by +5 from 0 wraps after floor((1023-512)/5)=102 matches: best
+    # in-range value is 510
+    assert got == 510
+
+
+@pytest.mark.parametrize("score_width", [12, 10])
+def test_biased_kernel_matches_oracle(score_width):
+    rng = np.random.default_rng(1)
+    B, m, n = 8, 32, 32
+    q_lens = rng.integers(1, m + 1, size=B)
+    t_lens = rng.integers(1, n + 1, size=B)
+    q = rng.integers(0, 4, size=(B, m)).astype(np.int8)
+    t = rng.integers(0, 4, size=(B, n)).astype(np.int8)
+    want = _biased_batch(q, q_lens, t, t_lens, score_width)
+    qp, tp = sentinel_pad_batch(q, q_lens, t, t_lens)
+    got = np.asarray(
+        sw_scores_pallas(
+            qp, tp, block_pairs=128, interpret=INTERPRET, unroll=1,
+            state_dtype="int16_biased", score_width=score_width,
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_biased_kernel_overflow_wrap():
+    # Mixed batch: an overflowing identical pair next to in-range randoms —
+    # the kernel must reproduce the per-cell wrap+clamp, not the exact score
+    # and not biased_view of the exact score.
+    rng = np.random.default_rng(2)
+    m = n = 128
+    B = 4
+    q = rng.integers(0, 4, size=(B, m)).astype(np.int8)
+    t = rng.integers(0, 4, size=(B, n)).astype(np.int8)
+    q[0] = t[0] = np.tile(np.arange(4, dtype=np.int8), 32)
+    lens = np.full((B,), m)
+    want = _biased_batch(q, lens, t, lens, 10)
+    exact = sw_score_batch(q, t, lens, lens)
+    assert want[0] != exact[0]  # the overflow case genuinely wraps
+    qp, tp = sentinel_pad_batch(q, lens, t, lens)
+    got = np.asarray(
+        sw_scores_pallas(
+            qp, tp, block_pairs=128, interpret=INTERPRET, unroll=1,
+            state_dtype="int16_biased", score_width=10,
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_biased_kernel_in_range_equals_exact():
+    # w=12 on ordinary data: the biased mode must agree with the exact
+    # kernel bit-for-bit (the identity regime).
+    rng = np.random.default_rng(3)
+    B, m, n = 6, 24, 48
+    q_lens = rng.integers(1, m + 1, size=B)
+    t_lens = rng.integers(1, n + 1, size=B)
+    q = rng.integers(0, 4, size=(B, m)).astype(np.int8)
+    t = rng.integers(0, 4, size=(B, n)).astype(np.int8)
+    want = sw_score_batch(q, t, q_lens, t_lens)
+    qp, tp = sentinel_pad_batch(q, q_lens, t, t_lens)
+    got = np.asarray(
+        sw_scores_pallas(
+            qp, tp, block_pairs=128, interpret=INTERPRET, unroll=1,
+            state_dtype="int16_biased", score_width=12,
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.slow  # interpret-mode build of the chained kernel
+def test_biased_chained_long_query():
+    # m > QUERY_TILE routes through the tile-chained kernel; the inter-tile
+    # strips carry biased values, so wrap semantics survive chaining.  An
+    # identical 300-base pair scores 1500 exactly — past the 10-bit ceiling.
+    m = 300
+    seq = np.tile(np.arange(4, dtype=np.int8), 75)
+    rng = np.random.default_rng(4)
+    B = 2
+    q = np.stack([seq, rng.integers(0, 4, size=m).astype(np.int8)])
+    t = np.stack([seq, rng.integers(0, 4, size=m).astype(np.int8)])
+    lens = np.full((B,), m)
+    want = _biased_batch(q, lens, t, lens, 10)
+    assert want[0] < 1500
+    qp, tp = sentinel_pad_batch(q, lens, t, lens)
+    got = np.asarray(
+        sw_scores_pallas(
+            qp, tp, block_pairs=128, interpret=INTERPRET, unroll=1,
+            state_dtype="int16_biased", score_width=10,
+        )
+    )
+    np.testing.assert_array_equal(got, want)
