@@ -79,7 +79,12 @@ class ScoreBank:
         self.config = config
         import jax
 
-        if backend == "auto":
+        if config.score_width is not None:
+            # SCORE_WIDTH wrap-parity is implemented by the column kernel
+            # only (int16_biased mode) — force that backend so the emulated
+            # register width governs every score
+            backend = "pallas"
+        elif backend == "auto":
             # the flagship path IS the default, exactly as the reference's
             # bank instantiates its fastest array (ScoreBank_v2.v:117): the
             # streamed multi-row wavefront (323 GCUPS measured) on TPU —
@@ -125,6 +130,14 @@ class ScoreBank:
         if self.backend == "pallas":
             from swtpu.ops.pallas_kernel import sw_scores_pallas
 
+            if self.config.score_width is not None:
+                return np.asarray(
+                    sw_scores_pallas(
+                        q, t, pen, interpret=self._interpret,
+                        state_dtype="int16_biased",
+                        score_width=self.config.score_width,
+                    )
+                )
             return np.asarray(sw_scores_pallas(q, t, pen, interpret=self._interpret))
         raise ValueError(f"unknown backend {self.backend!r}")
 

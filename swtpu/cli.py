@@ -62,7 +62,11 @@ def cmd_score(args) -> int:
     buckets = tuple(b for b in (32, 128, 512, 2048, 8192) if b >= 32)
     if max_len > buckets[-1]:
         raise SystemExit(f"read length {max_len} exceeds capacity {buckets[-1]}")
-    cfg = SWConfig(penalties=pen, target_buckets=buckets)
+    cfg = SWConfig(
+        penalties=pen,
+        target_buckets=buckets,
+        score_width=args.score_width or None,
+    )
     bank = ScoreBank(cfg, backend=args.backend)
     event_log = None
     if args.events:
@@ -262,6 +266,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     )
     ps.add_argument("--topk", type=int, default=0)
     ps.add_argument("--backend", default="auto", choices=["auto", "scan", "pallas", "stream"])
+    ps.add_argument(
+        "--score-width", dest="score_width", type=int, default=0,
+        help="emulate the RTL's SCORE_WIDTH-bit biased registers, including "
+        "overflow wrap (0 = exact int32 scoring; the hardware default is 12)",
+    )
     ps.add_argument("--events", help="write per-batch JSONL event log here")
     ps.add_argument("--profile", help="write a jax.profiler trace to this dir")
     ps.add_argument("--resume", help="resumable job state file (WED analog)")

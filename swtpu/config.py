@@ -96,3 +96,9 @@ class SWConfig:
     # mantissa — and measured ~15% faster than int32 at rows=16,
     # BENCH_NOTES.md), int32 in interpret/test mode.
     stream_state_dtype: str = "auto"
+    # SCORE_WIDTH wrap-parity: when set, score in the RTL's W-bit biased
+    # register arithmetic including overflow wrap + sign-bit clamp
+    # (SW_ProcessingElement_v1.0.v:15-20) — routes through the column
+    # kernel's int16_biased mode.  None (default) = exact int32 scoring,
+    # which is bit-identical to the 12-bit hardware for in-range scores.
+    score_width: Optional[int] = None

@@ -314,9 +314,12 @@ def sw_scores_pallas(
     else:
         bt = block_pairs or _block_pairs_default(m)
     bt = min(bt, max(128, B))
-    # interpreter mode has no tile-alignment constraints; a small chunk
-    # keeps the traced program (chunk x unrolled column bodies) tractable
+    # interpreter mode has no tile-alignment constraints; a small chunk and
+    # unroll=1 keep the traced program (chunk x unrolled column bodies)
+    # tractable — unroll is a TPU-perf knob only
     chunk = 8 if interpret else T_CHUNK
+    if interpret:
+        unroll = 1
 
     # static-shape padding, all with sentinels (provably score-neutral):
     #   pairs  -> whole number of lane blocks

@@ -132,6 +132,30 @@ def test_biased_kernel_in_range_equals_exact():
     np.testing.assert_array_equal(got, want)
 
 
+def test_scorebank_score_width_routes_biased():
+    # SWConfig.score_width forces the column kernel's wrap-parity mode for
+    # the whole bank path (CLI: `swtpu score --score-width N`), mirroring
+    # main_test.c's biased `result - 2048` reporting surface.
+    from swtpu.bank import ScoreBank
+    from swtpu.config import SWConfig
+
+    rng = np.random.default_rng(5)
+    query = np.tile(np.arange(4, dtype=np.int8), 10)  # 40 bases, scores 200
+    targets = [rng.integers(0, 4, size=rng.integers(8, 32)).astype(np.int8)
+               for _ in range(6)]
+    targets.append(query.copy())  # exact self-match: 200 > an 8-bit ceiling
+    bank = ScoreBank(SWConfig(score_width=8, target_buckets=(40,)))
+    assert bank.backend == "pallas"
+    got = bank.score_database(query, targets).scores
+    want = np.array(
+        [sw_score_single_biased(query, t, score_width=8) for t in targets],
+        dtype=np.int32,
+    )
+    np.testing.assert_array_equal(got, want)
+    exact = sw_score_single(query, query)
+    assert exact == 200 and got[-1] < exact  # wrapped, not the exact score
+
+
 @pytest.mark.slow  # interpret-mode build of the chained kernel
 def test_biased_chained_long_query():
     # m > QUERY_TILE routes through the tile-chained kernel; the inter-tile
