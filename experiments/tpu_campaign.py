@@ -48,6 +48,33 @@ QUEUES = {
         (["experiments/tpu_step.py", "e2e_data500"], 560),
         (["bench.py"], 560),
     ],
+    # r3 remainder: the rows=16 f32 compiles need ~10 min (measured: the
+    # parity_r16_f32 compile ran 10-11 min; the 560 s step cap killed
+    # bench_warm_k1 mid-compile).  Campaign children are detached from the
+    # driver's ~590 s task cap, so compile-heavy warm steps get 1500 s;
+    # measured (cache-warm) steps keep tighter caps.
+    "r3b": [
+        (["experiments/tpu_step.py", "bench_warm_k1"], 1500),
+        (["experiments/tpu_step.py", "bench_warm_k33"], 1500),
+        (["experiments/tpu_step.py", "bench_chain"], 560),
+        (["experiments/tpu_step.py", "warm_entry"], 1500),
+        (["experiments/tpu_step.py", "bench_warm_i32_k1"], 1500),
+        (["experiments/tpu_step.py", "bench_warm_i32_k33"], 1500),
+        (["experiments/tpu_step.py", "bench_small_warm"], 1500),
+        (["experiments/tpu_step.py", "parity_r8_f32"], 1500),
+        (["experiments/tpu_step.py", "long_k4_w1"], 1500),
+        (["experiments/tpu_step.py", "long_k4"], 900),
+        (["experiments/tpu_step.py", "long_k2_w1"], 1500),
+        (["experiments/tpu_step.py", "long_k2"], 900),
+        (["experiments/tpu_step.py", "long_k16_w1"], 1500),
+        (["experiments/tpu_step.py", "long_k16"], 900),
+        (["experiments/tpu_step.py", "pairs_w1"], 1500),
+        (["experiments/tpu_step.py", "pairs"], 900),
+        (["experiments/tpu_step.py", "e2e_data1"], 900),
+        (["experiments/tpu_step.py", "e2e_data100"], 900),
+        (["experiments/tpu_step.py", "e2e_data500"], 900),
+        (["bench.py"], 560),
+    ],
     "perf1": [
         # (argv, timeout_s)
         (["experiments/tpu_step.py", "probe"], 120),
