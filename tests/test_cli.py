@@ -37,6 +37,19 @@ def test_score_backend_scan(tmp_path):
     assert main(["diff", str(o1), str(o2)]) == 0
 
 
+def test_score_width_flag(tmp_path):
+    # --score-width routes through the wrap-parity column kernel; at W=12
+    # these small reads stay in range, so the output equals the exact
+    # oracle (the identity regime that makes int32 hardware-compatible)
+    fa = tmp_path / "gen.fa"
+    main(["generate", "-n", "4", "-L", "24", "-o", str(fa), "--seed", "7"])
+    o1 = tmp_path / "biased.txt"
+    o2 = tmp_path / "oracle.txt"
+    assert main(["score", "-q", str(fa), "-l", str(fa), "-o", str(o1), "--score-width", "12"]) == 0
+    assert main(["oracle", "-q", str(fa), "-l", str(fa), "-o", str(o2)]) == 0
+    assert main(["diff", str(o1), str(o2)]) == 0
+
+
 @pytest.mark.skipif(not reference_data_available(), reason="no reference data")
 def test_score_matches_rtl_golden_via_diff(tmp_path):
     out = tmp_path / "out.txt"
