@@ -75,6 +75,12 @@ QUEUES = {
         (["experiments/tpu_step.py", "e2e_data500"], 900),
         (["bench.py"], 560),
     ],
+    # post-r3b: S-tune the f32 headline config (each step compiles its own
+    # shapes; run after r3b so the queue stays serialized)
+    "r3c": [
+        (["experiments/tpu_step.py", "chain_stream_r16_f32_s256"], 1500),
+        (["experiments/tpu_step.py", "chain_stream_r16_f32_s1024"], 1500),
+    ],
     "perf1": [
         # (argv, timeout_s)
         (["experiments/tpu_step.py", "probe"], 120),

@@ -510,6 +510,10 @@ STEPS = {
     "chain_stream_r16_s256": lambda: _chain_stream(256, ks=(1, 5), rows=16),
     "chain_stream_r16_c16": lambda: _chain_stream(512, ks=(1, 5), rows=16, chunk=16),
     "chain_stream_r16_f32": lambda: _chain_stream(512, ks=(1, 5), rows=16, state_dtype="float32"),
+    # round-3 S-tuning at the f32 headline config (the int32 sweet spot was
+    # S=512; f32 may shift it)
+    "chain_stream_r16_f32_s256": lambda: _chain_stream(256, ks=(1, 5), rows=16, state_dtype="float32"),
+    "chain_stream_r16_f32_s1024": lambda: _chain_stream(1024, ks=(1, 5), rows=16, state_dtype="float32"),
     "chain_stream_r16_seg4": lambda: _chain_stream(512, ks=(1, 5), rows=16, segments=4),
     "chain_stream_r4_seg4": lambda: _chain_stream(512, ks=(1, 5), rows=4, segments=4),
     "chain_stream_r8_seg4": lambda: _chain_stream(512, ks=(1, 5), rows=8, segments=4),
