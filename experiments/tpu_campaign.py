@@ -80,6 +80,7 @@ QUEUES = {
     "r3c": [
         (["experiments/tpu_step.py", "chain_stream_r16_f32_s256"], 1500),
         (["experiments/tpu_step.py", "chain_stream_r16_f32_s1024"], 1500),
+        (["bench.py"], 560),
     ],
     "perf1": [
         # (argv, timeout_s)
