@@ -340,7 +340,10 @@ class ScoreBank:
             # chained tiles are always segments=1, so rows=16 is legal; the
             # unrolled R=16 body is slow to build in interpret mode -> rows=1
             rows = 16 if not self._interpret else 1
-        phys = max(128, self.config.block_pairs // 4) if not self._interpret else 8
+        # S=512 physical streams is the measured sweet spot for the rows=16
+        # kernel (BENCH_NOTES.md: S=256/512/1024 -> 321/323.5/294 int32;
+        # every round-3 f32 measurement incl. the long_k* campaign ran S=512)
+        phys = max(128, self.config.block_pairs // 2) if not self._interpret else 8
         if tlens is not None:
             batch = pack_streams_long(
                 query, tmat, n_streams=phys, rows=rows, lens=tlens
@@ -412,8 +415,9 @@ class ScoreBank:
             # segments=1; segmented configs cap at rows*segments = 16);
             # interpret mode stays at 1 row (folding only pays on hardware)
             rows = {1: 16, 2: 8, 4: 4}[segments] if not self._interpret else 1
-        # logical streams = physical lane columns x segments
-        phys = max(128, self.config.block_pairs // 4) if not self._interpret else 8
+        # logical streams = physical lane columns x segments; S=512 physical
+        # is the measured sweet spot (BENCH_NOTES.md)
+        phys = max(128, self.config.block_pairs // 2) if not self._interpret else 8
         if tlens is not None:
             batch = pack_streams(
                 query, tmat, n_streams=phys * segments, segments=segments,
