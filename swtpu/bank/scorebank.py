@@ -87,7 +87,7 @@ class ScoreBank:
         elif backend == "auto":
             # the flagship path IS the default, exactly as the reference's
             # bank instantiates its fastest array (ScoreBank_v2.v:117): the
-            # streamed multi-row wavefront (323 GCUPS measured) on TPU —
+            # streamed multi-row wavefront (419.8 GCUPS measured, f32 state) on TPU —
             # score_database dispatches it for every query length (chained
             # tiles past 128 bases), and score_pairs' dense fallback inside
             # the stream backend uses the column kernel
