@@ -82,6 +82,12 @@ QUEUES = {
         (["experiments/tpu_step.py", "chain_stream_r16_f32_s1024"], 1500),
         (["bench.py"], 560),
     ],
+    # jitter-robust k=17 re-measures of the pairs / long chains (bodies
+    # cached by r3b)
+    "r3d": [
+        (["experiments/tpu_step.py", "pairs_k17"], 900),
+        (["experiments/tpu_step.py", "long_k4_17"], 900),
+    ],
     "perf1": [
         # (argv, timeout_s)
         (["experiments/tpu_step.py", "probe"], 120),

@@ -548,6 +548,10 @@ STEPS = {
     "long_k4_i32": lambda: _chain_long(4, ks=(1, 5), state_dtype="int32"),
     "pairs_w1": lambda: _chain_pairs(ks=(1,)),
     "pairs": lambda: _chain_pairs(ks=(1, 5)),
+    # longer chains for jitter-robust slopes (scan bodies are cache-hits
+    # after the k=5 runs; only the trip count changes)
+    "pairs_k17": lambda: _chain_pairs(ks=(1, 17)),
+    "long_k4_17": lambda: _chain_long(4, ks=(1, 17)),
     "e2e_data1": lambda: _e2e_dataset("data1.fa", "query1.fa", scale=1 << 18),
     "e2e_data100": lambda: _e2e_dataset("data100.fa", "query100.fa", scale=1 << 18),
     "e2e_data500": lambda: _e2e_dataset("data500.fa", "query100.fa"),
