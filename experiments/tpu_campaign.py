@@ -87,6 +87,8 @@ QUEUES = {
     "r3d": [
         (["experiments/tpu_step.py", "pairs_k17"], 900),
         (["experiments/tpu_step.py", "long_k4_17"], 900),
+        (["experiments/tpu_step.py", "chain_r4_seg4_f32"], 1500),
+        (["experiments/tpu_step.py", "chain_r8_seg2_f32"], 1500),
     ],
     "perf1": [
         # (argv, timeout_s)

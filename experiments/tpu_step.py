@@ -552,6 +552,10 @@ STEPS = {
     # after the k=5 runs; only the trip count changes)
     "pairs_k17": lambda: _chain_pairs(ks=(1, 17)),
     "long_k4_17": lambda: _chain_long(4, ks=(1, 17)),
+    # segmented short-query configs at f32 (the data1-class 32nt workload:
+    # seg=4 x rows=4; 64nt: seg=2 x rows=8)
+    "chain_r4_seg4_f32": lambda: _chain_stream(512, ks=(1, 5), rows=4, segments=4, state_dtype="float32"),
+    "chain_r8_seg2_f32": lambda: _chain_stream(512, ks=(1, 5), rows=8, segments=2, state_dtype="float32"),
     "e2e_data1": lambda: _e2e_dataset("data1.fa", "query1.fa", scale=1 << 18),
     "e2e_data100": lambda: _e2e_dataset("data100.fa", "query100.fa", scale=1 << 18),
     "e2e_data500": lambda: _e2e_dataset("data500.fa", "query100.fa"),
