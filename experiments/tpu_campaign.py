@@ -85,6 +85,10 @@ QUEUES = {
     # jitter-robust k=17 re-measures of the pairs / long chains (bodies
     # cached by r3b)
     "r3d": [
+        # rehearsal first: the campaign's probe gate means bench.py starts
+        # the moment the tunnel is healthy (both prior rehearsals landed in
+        # post-load unavailability windows)
+        (["bench.py"], 560),
         (["experiments/tpu_step.py", "pairs_k17"], 900),
         (["experiments/tpu_step.py", "long_k4_17"], 900),
         (["experiments/tpu_step.py", "chain_r4_seg4_f32"], 1500),
