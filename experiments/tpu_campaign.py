@@ -94,6 +94,12 @@ QUEUES = {
         (["experiments/tpu_step.py", "chain_r4_seg4_f32"], 1500),
         (["experiments/tpu_step.py", "chain_r8_seg2_f32"], 1500),
     ],
+    # re-warm the graft entry after it switched to the f32 product default,
+    # then rehearse the driver bench once more
+    "r3e": [
+        (["experiments/tpu_step.py", "warm_entry"], 1500),
+        (["bench.py"], 560),
+    ],
     "perf1": [
         # (argv, timeout_s)
         (["experiments/tpu_step.py", "probe"], 120),
@@ -147,7 +153,6 @@ QUEUES = {
         (["experiments/tpu_step.py", "e2e_data1"], 560),
         (["experiments/tpu_step.py", "e2e_data100"], 560),
         (["experiments/tpu_step.py", "e2e_data500"], 560),
-        (["experiments/tpu_step.py", "warm_bench"], 560),
     ],
     # post-rows2 sweep: rows=16 parity + tuning, segmented short-query
     # chains, int16 at rows<=8, then the reference datasets end-to-end

@@ -287,16 +287,6 @@ def _e2e_dataset(db, queryf, scale=0):
     )
 
 
-def warm_bench():
-    """Compile-warm bench.py's exact headline jits into .jaxcache so the
-    driver-run bench is compile-free (the entries are force-committed)."""
-    import bench
-
-    for sizes in ((32768, 262144), (8192, 65536)):
-        g = bench._measure_stream(sizes, reps=1)
-        log(f"bench shapes {sizes} warmed: {g:.1f} GCUPS")
-
-
 def _bench_stage(name, **env):
     """Run one bench.py stage in-process (env set before bench imports)."""
     import os
@@ -474,7 +464,6 @@ def _chain_pairs(ks=(1, 5), state_dtype="float32", rows=16, S=512,
 
 STEPS = {
     "probe": probe,
-    "warm_bench": warm_bench,
     "parity": parity,
     "bench_s256": lambda: _stream_bench(256),
     "bench_s1024": lambda: _stream_bench(1024),

@@ -79,10 +79,16 @@ class ScoreBank:
         self.config = config
         import jax
 
-        if config.score_width is not None:
+        if config.score_width is not None and backend != "pallas":
             # SCORE_WIDTH wrap-parity is implemented by the column kernel
-            # only (int16_biased mode) — force that backend so the emulated
-            # register width governs every score
+            # only (int16_biased mode): auto-resolve to it, but never
+            # silently override an explicitly requested backend (a callable
+            # test backend or 'scan' would otherwise stop being exercised)
+            if backend != "auto":
+                raise ValueError(
+                    "score_width requires the 'pallas' backend "
+                    f"(got {backend!r})"
+                )
             backend = "pallas"
         elif backend == "auto":
             # the flagship path IS the default, exactly as the reference's
@@ -285,17 +291,18 @@ class ScoreBank:
         rows = self.config.stream_rows
         if rows == 0:
             rows = {1: 16, 2: 8, 4: 4}[segments] if not self._interpret else 1
-        phys = max(128, self.config.block_pairs // 4) if not self._interpret else 8
+        # S=512 physical streams, the measured sweet spot (the 419.4-GCUPS
+        # pairs_k17 number ran S=512 — BENCH_NOTES.md)
+        phys = max(128, self.config.block_pairs // 2) if not self._interpret else 8
         S = phys * segments
-        # group pair indices by distinct query; chunk groups to <= S queries
-        uid_by_key = {}
-        groups: list = []
-        for i, q in enumerate(queries):
-            key = np.asarray(q, np.int8).tobytes()
-            u = uid_by_key.get(key)
-            if u is None:
-                u = uid_by_key[key] = len(groups)
-                groups.append([])
+        # group pair indices by distinct query (the packer's own dedup, so
+        # the chunk bound and the packer's U always agree); chunk groups to
+        # <= S queries
+        from swtpu.bank.streams import dedupe_queries
+
+        qlist, uid = dedupe_queries(queries)
+        groups: list = [[] for _ in qlist]
+        for i, u in enumerate(uid):
             groups[u].append(i)
         chunks = [groups[i : i + S] for i in range(0, len(groups), S)]
         scores = np.zeros((n,), dtype=np.int32)

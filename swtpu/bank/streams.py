@@ -305,6 +305,23 @@ def _pack_streams_equal(
     )
 
 
+def dedupe_queries(queries) -> tuple:
+    """(distinct int8 query arrays, [n] int32 uid per input) — the single
+    content-keyed dedup used by both the pair packer and ScoreBank's
+    chunker, so their distinct-query counts can never disagree."""
+    uid_by_key = {}
+    qlist: List[np.ndarray] = []
+    uid = np.empty(len(queries), np.int32)
+    for i, qq in enumerate(queries):
+        qq = np.asarray(qq, dtype=np.int8)
+        u = uid_by_key.get(qq.tobytes())
+        if u is None:
+            u = uid_by_key[qq.tobytes()] = len(qlist)
+            qlist.append(qq)
+        uid[i] = u
+    return qlist, uid
+
+
 def pack_pair_streams(
     queries: Sequence[np.ndarray],
     targets: Sequence[np.ndarray],
@@ -331,22 +348,13 @@ def pack_pair_streams(
     n = len(queries)
     S = n_streams
     # dedupe queries by content; pairs sharing a query share its streams
-    uid_by_key = {}
-    qlist: List[np.ndarray] = []
-    uid = np.empty(n, np.int32)
-    for i, qq in enumerate(queries):
-        qq = np.asarray(qq, dtype=np.int8)
+    qlist, uid = dedupe_queries(queries)
+    for qq in qlist:
         if len(qq) > qcap:
             raise ValueError(
                 f"query of {len(qq)} bases exceeds capacity {qcap} at "
                 f"segments={segments}"
             )
-        key = qq.tobytes()
-        u = uid_by_key.get(key)
-        if u is None:
-            u = uid_by_key[key] = len(qlist)
-            qlist.append(qq)
-        uid[i] = u
     U = len(qlist)
     if U > S:
         raise ValueError(

@@ -300,6 +300,11 @@ def sw_scores_pallas(
         # 32-bit lanes carry the W-bit biased values; the emulated register
         # width is score_width, not the lane width.  The no-wrap proof for
         # the I chain needs ZERO + open + 2*extend >= 0 (see _sw_kernel).
+        if not 2 <= score_width <= 30:
+            raise ValueError(
+                f"score_width={score_width} out of range (need 2..30: the "
+                "biased values live in 32-bit lanes)"
+            )
         if (1 << (score_width - 1)) + (go + ge) + ge < 0:
             raise ValueError(
                 f"score_width={score_width} too narrow for penalties "
