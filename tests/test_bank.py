@@ -155,6 +155,20 @@ def test_score_pairs_stream_chunks_many_distinct_queries():
     np.testing.assert_array_equal(res.scores, want)
 
 
+def test_dedupe_queries_shared_keying():
+    # the single content-keyed dedup used by both the pair packer and the
+    # ScoreBank chunker: same content -> same uid regardless of dtype or
+    # container, so the chunk bound and the packer's U always agree
+    from swtpu.bank.streams import dedupe_queries
+
+    a = np.array([0, 1, 2, 3], np.int8)
+    qs = [a, a.astype(np.int64), list(a), np.array([3, 2, 1, 0], np.int8)]
+    qlist, uid = dedupe_queries(qs)
+    assert len(qlist) == 2
+    np.testing.assert_array_equal(uid, [0, 0, 0, 1])
+    assert all(q.dtype == np.int8 for q in qlist)
+
+
 def test_pack_pair_streams_chunking_limit():
     # more distinct queries than logical streams raises (ScoreBank chunks)
     from swtpu.bank.streams import pack_pair_streams
