@@ -100,6 +100,18 @@ QUEUES = {
         (["experiments/tpu_step.py", "warm_entry"], 1500),
         (["bench.py"], 560),
     ],
+    # round 4: flagship kernel as real Mosaic under shard_map on mesh(1)
+    # (VERDICT #1).  Smoke first (rows=1, fast compile) to prove the path,
+    # then the rows=16 f32 headline config (compiles ~10-11 min per new
+    # executable; scan bodies cache across trip counts, so w1 pays and the
+    # rest should hit).
+    "r4": [
+        (["experiments/tpu_step.py", "shmosaic_smoke"], 900),
+        (["experiments/tpu_step.py", "shmosaic_w1"], 1500),
+        (["experiments/tpu_step.py", "shmosaic_w5"], 1500),
+        (["experiments/tpu_step.py", "shmosaic_chain"], 900),
+        (["experiments/tpu_step.py", "shmosaic_chain17"], 900),
+    ],
     "perf1": [
         # (argv, timeout_s)
         (["experiments/tpu_step.py", "probe"], 120),

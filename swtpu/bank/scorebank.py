@@ -226,11 +226,15 @@ class ScoreBank:
         self,
         queries: Sequence[np.ndarray],
         targets: Sequence[np.ndarray],
+        event_log=None,
     ) -> ScoreResult:
         """Score explicit (query, target) pairs (many-vs-many workloads).
 
         Pairs are grouped by (query-width, target-bucket) shape and
-        dispatched densely; results return in submission order."""
+        dispatched densely; results return in submission order.
+
+        event_log: optional swtpu.utils.EventLog receiving one structured
+        record per dispatched chunk (same observability as score_database)."""
         from swtpu.bank.packer import pack_pairs
         from swtpu.bank.buckets import plan_buckets
 
@@ -242,7 +246,7 @@ class ScoreBank:
             if all(len(q) <= STREAM_QCAP for q in queries):
                 # many-vs-many at wavefront speed: per-stream query registers
                 # (the reference's per-module ld_q, ScoreBank_v2.v:99-102)
-                return self._score_pairs_stream(queries, targets)
+                return self._score_pairs_stream(queries, targets, event_log)
         cfg = self.config
         t0 = time.perf_counter()
         n = len(queries)
@@ -254,6 +258,7 @@ class ScoreBank:
         for i in range(n):
             groups.setdefault((q_plan.assignments[i], t_plan.assignments[i]), []).append(i)
         for (qb, tb), idxs in groups.items():
+            tc = time.perf_counter()
             batch = pack_pairs(
                 [queries[i] for i in idxs],
                 [targets[i] for i in idxs],
@@ -265,10 +270,24 @@ class ScoreBank:
             scores[batch.ids] = s
             cells += batch.cells
             padded += batch.padded_cells
+            if event_log is not None:
+                from swtpu.utils import BatchEvent
+
+                event_log.emit(
+                    BatchEvent(
+                        "pair_batch", t_wall=time.time(),
+                        elapsed_s=time.perf_counter() - tc,
+                        reads=len(idxs), cells=batch.cells,
+                        padded_cells=batch.padded_cells,
+                        note=f"q_width={q_plan.bucket_lens[qb]} "
+                        f"t_width={t_plan.bucket_lens[tb]}",
+                    )
+                )
         return ScoreResult(scores, cells, padded, time.perf_counter() - t0)
 
     def _score_pairs_stream(
-        self, queries: Sequence[np.ndarray], targets: Sequence[np.ndarray]
+        self, queries: Sequence[np.ndarray], targets: Sequence[np.ndarray],
+        event_log=None,
     ) -> ScoreResult:
         """Many-vs-many on the streamed wavefront: distinct queries load
         into per-stream query registers (pack_pair_streams), targets ride
@@ -293,7 +312,7 @@ class ScoreBank:
             rows = {1: 16, 2: 8, 4: 4}[segments] if not self._interpret else 1
         # S=512 physical streams, the measured sweet spot (the 419.4-GCUPS
         # pairs_k17 number ran S=512 — BENCH_NOTES.md)
-        phys = max(128, self.config.block_pairs // 2) if not self._interpret else 8
+        phys = self.config.stream_phys if not self._interpret else 8
         S = phys * segments
         # group pair indices by distinct query (the packer's own dedup, so
         # the chunk bound and the packer's U always agree); chunk groups to
@@ -308,11 +327,16 @@ class ScoreBank:
         scores = np.zeros((n,), dtype=np.int32)
         cells = padded = 0
         for chunk in chunks:
+            tc = time.perf_counter()
             idxs = [i for g in chunk for i in g]
             batch = pack_pair_streams(
                 [queries[i] for i in idxs], [targets[i] for i in idxs],
                 n_streams=S, segments=segments, rows=rows,
             )
+            if self.verify_integrity:
+                from swtpu.utils.guards import check_stream_batch
+
+                check_stream_batch(batch)
             s = np.asarray(
                 sw_scores_stream(
                     batch.q, batch.stream,
@@ -322,11 +346,34 @@ class ScoreBank:
                     state_dtype=self._stream_dtype(),
                 )
             )
+            if self.verify_integrity:
+                from swtpu.utils.guards import check_scores
+
+                check_scores(
+                    s,
+                    np.fromiter((len(queries[i]) for i in idxs), np.int64),
+                    np.fromiter((len(targets[i]) for i in idxs), np.int64),
+                    self.config.penalties.match,
+                )
             scores[np.asarray(idxs, np.int64)] = s
             cells += batch.cells
-            padded += batch.stream.shape[0] * batch.stream.shape[1] * (
+            chunk_padded = batch.stream.shape[0] * batch.stream.shape[1] * (
                 STREAM_QCAP // segments
             )
+            padded += chunk_padded
+            if event_log is not None:
+                from swtpu.utils import BatchEvent
+
+                event_log.emit(
+                    BatchEvent(
+                        "pair_stream", t_wall=time.time(),
+                        elapsed_s=time.perf_counter() - tc,
+                        reads=len(idxs), cells=batch.cells,
+                        padded_cells=chunk_padded,
+                        note=f"streams={batch.stream.shape[0]} "
+                        f"T={batch.stream.shape[1]} queries={len(chunk)}",
+                    )
+                )
         return ScoreResult(scores, cells, padded, time.perf_counter() - t0)
 
     def _score_database_stream_long(
@@ -350,13 +397,17 @@ class ScoreBank:
         # S=512 physical streams is the measured sweet spot for the rows=16
         # kernel (BENCH_NOTES.md: S=256/512/1024 -> 321/323.5/294 int32;
         # every round-3 f32 measurement incl. the long_k* campaign ran S=512)
-        phys = max(128, self.config.block_pairs // 2) if not self._interpret else 8
+        phys = self.config.stream_phys if not self._interpret else 8
         if tlens is not None:
             batch = pack_streams_long(
                 query, tmat, n_streams=phys, rows=rows, lens=tlens
             )
         else:
             batch = pack_streams_long(query, targets, n_streams=phys, rows=rows)
+        if self.verify_integrity:
+            from swtpu.utils.guards import check_stream_batch
+
+            check_stream_batch(batch)
         if self.config.wire_2bit and not self._interpret:
             # same 3.2x H2D cut as the short-query path (round-2 advisor):
             # ship 2-bit codes + flag bitmap, expand on device
@@ -380,6 +431,16 @@ class ScoreBank:
                     self.config.penalties, interpret=self._interpret, rows=rows,
                     state_dtype=self._stream_dtype(),
                 )
+            )
+        if self.verify_integrity:
+            from swtpu.utils.guards import check_scores
+
+            t_lens = tlens if tlens is not None else np.fromiter(
+                (len(t) for t in targets), np.int64, n_reads
+            )
+            check_scores(
+                scores, np.full(n_reads, len(query)), t_lens,
+                self.config.penalties.match,
             )
         elapsed = time.perf_counter() - t0
         K = batch.q.shape[1] // LANES
@@ -424,7 +485,7 @@ class ScoreBank:
             rows = {1: 16, 2: 8, 4: 4}[segments] if not self._interpret else 1
         # logical streams = physical lane columns x segments; S=512 physical
         # is the measured sweet spot (BENCH_NOTES.md)
-        phys = max(128, self.config.block_pairs // 2) if not self._interpret else 8
+        phys = self.config.stream_phys if not self._interpret else 8
         if tlens is not None:
             batch = pack_streams(
                 query, tmat, n_streams=phys * segments, segments=segments,
@@ -435,6 +496,12 @@ class ScoreBank:
                 query, targets, n_streams=phys * segments, segments=segments,
                 rows=rows,
             )
+        if self.verify_integrity:
+            # in-situ parity checking on the DEFAULT (flagship) path — the
+            # reference guards every bus (afu.v:73-76), not just slow ones
+            from swtpu.utils.guards import check_stream_batch
+
+            check_stream_batch(batch)
         if self.config.wire_2bit and not self._interpret:
             # ship the stream at 2.5 bits/char and expand on device — the
             # reference's 4-bases/byte transfer economy (aligner_Header.c:30-41)
@@ -461,8 +528,23 @@ class ScoreBank:
                     state_dtype=self._stream_dtype(),
                 )
             )
+        if self.verify_integrity:
+            from swtpu.utils.guards import check_scores
+
+            t_lens = tlens if tlens is not None else np.fromiter(
+                (len(t) for t in targets), np.int64, n_reads
+            )
+            check_scores(
+                scores, np.full(n_reads, len(query)), t_lens,
+                self.config.penalties.match,
+            )
         elapsed = time.perf_counter() - t0
-        padded = batch.stream.shape[0] * batch.stream.shape[1] * LANES
+        # physical wavefront capacity: LANES DP rows per lane column per
+        # step, shared by `segments` queries (same accounting as the pairs
+        # path: stream rows x steps x rows-per-column)
+        padded = batch.stream.shape[0] * batch.stream.shape[1] * (
+            LANES // segments
+        )
         if event_log is not None:
             from swtpu.utils import BatchEvent
 

@@ -91,6 +91,12 @@ class SWConfig:
     # `rows`.  0 = auto (pick the fastest measured config for the segment
     # count); 1 = classic one-row wavefront.
     stream_rows: int = 0
+    # physical lane columns (streams) per stream-kernel invocation.  512 is
+    # the measured sweet spot for the rows=16 flagship kernel
+    # (BENCH_NOTES.md: S=256/512/1024); logical streams = stream_phys x
+    # segments.  Decoupled from block_pairs (a column-kernel batch knob) so
+    # tuning one never silently resizes the other's VMEM footprint.
+    stream_phys: int = 512
     # DP state dtype in the stream kernel.  "auto" = float32 on hardware
     # (exact for every reachable score — integers far inside the 2^24
     # mantissa — and measured ~15% faster than int32 at rows=16,

@@ -34,10 +34,13 @@ DEFAULT_SUITE: Dict[str, Any] = {
         "oracle_parity",
         "faulted_scheduling",
         "corruption_inject",
+        "corruption_inject_stream",
         "resume",
         "topk_merge",
         "lying_device",  # runs only when multihost is enabled
     ],
+    # the multihost/adversary tier lives in suites/multihost.json (it spawns
+    # 2 OS worker processes per run, ~60-90 s); the default suite stays fast
     "multihost": {"enabled": False, "nprocs": 2},
 }
 
@@ -122,6 +125,55 @@ def run_suite(
                 except IntegrityError:
                     detail.append(f"{kind}: caught")
             record("corruption_inject", ok, "; ".join(detail))
+
+        if "corruption_inject_stream" in cfg["tests"]:
+            # the same adversary on the DEFAULT (flagship) stream path: a
+            # flipped stream byte must trip check_stream_batch between pack
+            # and kernel launch, and an over-bound result must trip
+            # check_scores after gather (round-3 verdict: guards must not be
+            # dead code on the path the product runs)
+            from unittest import mock
+
+            import swtpu.bank.streams as streams_mod
+            import swtpu.ops.pallas_stream as ps_mod
+            from swtpu.bank import ScoreBank as _SB
+            from swtpu.utils.guards import IntegrityError
+
+            sbank = _SB(
+                bank.config, backend="stream", interpret=True,
+                verify_integrity=True,
+            )
+            ok = True
+            detail = []
+            real_pack = streams_mod.pack_streams
+
+            def corrupting_pack(*a, **kw):
+                b = real_pack(*a, **kw)
+                b.stream[0, 0] = 6  # invalid char class
+                return b
+
+            try:
+                with mock.patch.object(
+                    streams_mod, "pack_streams", corrupting_pack
+                ):
+                    sbank.score_database(query, targets)
+                ok = False
+                detail.append("stream codes: NOT caught")
+            except IntegrityError:
+                detail.append("stream codes: caught")
+            try:
+                with mock.patch.object(
+                    ps_mod, "sw_scores_stream",
+                    lambda q, s, es, ep, *a, **kw: np.full(
+                        len(es), 10 ** 6, np.int32
+                    ),
+                ):
+                    sbank.score_database(query, targets)
+                ok = False
+                detail.append("stream scores: NOT caught")
+            except IntegrityError:
+                detail.append("stream scores: caught")
+            record("corruption_inject_stream", ok, "; ".join(detail))
 
         if "resume" in cfg["tests"]:
             import tempfile

@@ -65,6 +65,55 @@ def check_scores(scores: np.ndarray, q_lens, t_lens, match: int) -> None:
         )
 
 
+def check_stream_batch(batch) -> None:
+    """Validate a packed :class:`swtpu.bank.streams.StreamBatch` before
+    dispatch — the parity check of the flagship stream path (the reference
+    guards every bus, afu.v:73-76; swtpu guards the path the product runs):
+
+    - query register codes are bases or the query sentinel;
+    - stream chars are bases (optionally first-char-flagged) or the drain
+      pad, which never carries a flag;
+    - every emission coordinate indexes inside the [S, T] strip (or is the
+      -1 zero-length-read sentinel).
+    """
+    from swtpu.bank.streams import FLAG, STREAM_PAD
+
+    q = np.asarray(batch.q)
+    if q.ndim != 2:
+        raise IntegrityError(f"stream query register must be 2-D, got {q.shape}")
+    bad = ~np.isin(q, (0, 1, 2, 3, Q_PAD))
+    if bad.any():
+        i, j = np.argwhere(bad)[0]
+        raise IntegrityError(
+            f"stream query[{i},{j}] = {int(q[i, j])} is not a base code or "
+            f"pad {Q_PAD}"
+        )
+    stream = np.asarray(batch.stream)
+    if stream.ndim != 2:
+        raise IntegrityError(f"stream must be 2-D, got {stream.shape}")
+    allowed = (0, 1, 2, 3, STREAM_PAD, FLAG, FLAG | 1, FLAG | 2, FLAG | 3)
+    bad = ~np.isin(stream, allowed)
+    if bad.any():
+        i, j = np.argwhere(bad)[0]
+        raise IntegrityError(
+            f"stream[{i},{j}] = {int(stream[i, j])} is not a (flagged) base "
+            f"code or pad {STREAM_PAD}"
+        )
+    S, T = stream.shape
+    es = np.asarray(batch.emit_stream)
+    ep = np.asarray(batch.emit_step)
+    if ((es < 0) | (es >= S)).any():
+        i = int(np.flatnonzero((es < 0) | (es >= S))[0])
+        raise IntegrityError(
+            f"emit_stream[{i}] = {int(es[i])} outside [0, {S})"
+        )
+    if ((ep < -1) | (ep >= T)).any():
+        i = int(np.flatnonzero((ep < -1) | (ep >= T))[0])
+        raise IntegrityError(
+            f"emit_step[{i}] = {int(ep[i])} outside [-1, {T})"
+        )
+
+
 def checksum(arr: np.ndarray) -> int:
     """Order-sensitive checksum for cross-host result cross-checks."""
     a = np.ascontiguousarray(arr)
