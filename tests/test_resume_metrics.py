@@ -91,3 +91,118 @@ def test_gcups_meter_counts_real_cells():
     assert m.cells == 1000
     assert m.pad_efficiency == 0.25
     assert m.reads == 10
+
+
+# ------------------- stream-backend resume (round 4: flagship-speed WED) --
+
+
+def test_resume_stream_backend_completes(tmp_path):
+    rng = np.random.default_rng(5)
+    query, targets = _workload(rng, n=21)
+    targets = [t[:90] for t in targets]  # stay on the single-tile path
+    want = score_many_vs_one(query, targets)
+    bank = ScoreBank(SWConfig(), backend="stream", interpret=True)
+    state = tmp_path / "job.npz"
+    res = score_database_resumable(bank, query, targets, state, chunk_reads=8)
+    np.testing.assert_array_equal(res.scores, want)
+    assert res.cells == len(query) * sum(len(t) for t in targets)
+
+    # rerun skips every chunk: stub the kernel so any re-dispatch explodes
+    import swtpu.ops.pallas_stream as ps_mod
+
+    real = ps_mod.sw_scores_stream
+
+    def poisoned(*a, **kw):
+        raise AssertionError("stream chunk re-executed after completion")
+
+    ps_mod.sw_scores_stream = poisoned
+    try:
+        res2 = score_database_resumable(
+            bank, query, targets, state, chunk_reads=8
+        )
+    finally:
+        ps_mod.sw_scores_stream = real
+    np.testing.assert_array_equal(res2.scores, want)
+    assert res2.cells == res.cells  # skipped chunks still accounted
+
+
+def test_resume_stream_interrupt_midjob(tmp_path):
+    """Kill the job after the first chunk; the rerun completes bit-exactly
+    and never re-scores the finished chunk (the WED restart semantics,
+    aligner_Header.h:28-49) — all at the stream backend, not a column-path
+    downgrade."""
+    import swtpu.ops.pallas_stream as ps_mod
+
+    rng = np.random.default_rng(6)
+    query, targets = _workload(rng, n=20)
+    targets = [t[:90] for t in targets]
+    want = score_many_vs_one(query, targets)
+    state = tmp_path / "job.npz"
+    bank = ScoreBank(SWConfig(), backend="stream", interpret=True)
+
+    real = ps_mod.sw_scores_stream
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise RuntimeError("simulated mid-job kill")
+        return real(*a, **kw)
+
+    ps_mod.sw_scores_stream = flaky
+    try:
+        score_database_resumable(bank, query, targets, state, chunk_reads=8)
+        raise AssertionError("expected simulated crash")
+    except RuntimeError:
+        pass
+    finally:
+        ps_mod.sw_scores_stream = real
+    assert state.exists()
+
+    second = {"n": 0}
+
+    def counting(*a, **kw):
+        second["n"] += 1
+        return real(*a, **kw)
+
+    ps_mod.sw_scores_stream = counting
+    try:
+        res = score_database_resumable(
+            bank, query, targets, state, chunk_reads=8
+        )
+    finally:
+        ps_mod.sw_scores_stream = real
+    np.testing.assert_array_equal(res.scores, want)
+    # 20 reads / 8 per chunk = 3 chunks; chunk 0 done -> only 2 re-run
+    assert second["n"] == 2
+
+
+def test_resume_stream_fingerprint_mismatch(tmp_path):
+    """A state file from a DIFFERENT job must be ignored, not adopted."""
+    rng = np.random.default_rng(7)
+    query, targets = _workload(rng, n=12)
+    targets = [t[:90] for t in targets]
+    state = tmp_path / "job.npz"
+    bank = ScoreBank(SWConfig(), backend="stream", interpret=True)
+    score_database_resumable(bank, query, targets, state, chunk_reads=8)
+
+    query2 = rng.integers(0, 4, size=20).astype(np.int8)
+    want2 = score_many_vs_one(query2, targets)
+    res = score_database_resumable(bank, query2, targets, state, chunk_reads=8)
+    np.testing.assert_array_equal(res.scores, want2)
+
+
+def test_resume_stream_dense_form(tmp_path):
+    """EncodedDB/dense databases resume through the same chunker."""
+    rng = np.random.default_rng(8)
+    query = rng.integers(0, 4, size=20).astype(np.int8)
+    mat = rng.integers(0, 4, size=(19, 40)).astype(np.int8)
+    lens = rng.integers(5, 41, size=19).astype(np.int32)
+    targets = [mat[i, : lens[i]] for i in range(19)]
+    want = score_many_vs_one(query, targets)
+    bank = ScoreBank(SWConfig(), backend="stream", interpret=True)
+    state = tmp_path / "job.npz"
+    res = score_database_resumable(
+        bank, query, (mat, lens), state, chunk_reads=8
+    )
+    np.testing.assert_array_equal(res.scores, want)
