@@ -247,6 +247,14 @@ class ScoreBank:
                 # many-vs-many at wavefront speed: per-stream query registers
                 # (the reference's per-module ld_q, ScoreBank_v2.v:99-102)
                 return self._score_pairs_stream(queries, targets, event_log)
+            # mixed-length pair sets stay on the wavefront too (round-3
+            # verdict: one 200-base query must not drop the whole set to the
+            # column path): short-query pairs ride the pair streams, and
+            # each distinct >128-base query's pairs chain query tiles
+            # through the long-query kernel — per-module ld_q
+            # (ScoreBank_v2.v:99-102) composed with the chaining ports
+            # (ScoringModule_v1.1.v:36-54)
+            return self._score_pairs_stream_mixed(queries, targets, event_log)
         cfg = self.config
         t0 = time.perf_counter()
         n = len(queries)
@@ -283,6 +291,48 @@ class ScoreBank:
                         f"t_width={t_plan.bucket_lens[tb]}",
                     )
                 )
+        return ScoreResult(scores, cells, padded, time.perf_counter() - t0)
+
+    def _score_pairs_stream_mixed(
+        self,
+        queries: Sequence[np.ndarray],
+        targets: Sequence[np.ndarray],
+        event_log=None,
+    ) -> ScoreResult:
+        """Pair sets with at least one query longer than one wavefront tile:
+        partition by query length.  Pairs whose query fits one tile go
+        through the pair-stream kernel together; each distinct long query's
+        pairs become a many-vs-one job on the chained-tile kernel (the
+        long queries are deduped, so pairs sharing a 500-base query still
+        amortize one pack + one kernel)."""
+        from swtpu.bank.streams import LANES as STREAM_QCAP, dedupe_queries
+
+        t0 = time.perf_counter()
+        n = len(queries)
+        short_idx = [i for i in range(n) if len(queries[i]) <= STREAM_QCAP]
+        long_idx = [i for i in range(n) if len(queries[i]) > STREAM_QCAP]
+        scores = np.zeros((n,), dtype=np.int32)
+        cells = padded = 0
+        if short_idx:
+            res = self._score_pairs_stream(
+                [queries[i] for i in short_idx],
+                [targets[i] for i in short_idx],
+                event_log,
+            )
+            scores[np.asarray(short_idx, np.int64)] = res.scores
+            cells += res.cells
+            padded += res.padded_cells
+        qlist, uid = dedupe_queries([queries[i] for i in long_idx])
+        groups: list = [[] for _ in qlist]
+        for pos, i in enumerate(long_idx):
+            groups[uid[pos]].append(i)
+        for u, group in enumerate(groups):
+            res = self._score_database_stream_long(
+                qlist[u], [targets[i] for i in group], event_log
+            )
+            scores[np.asarray(group, np.int64)] = res.scores
+            cells += res.cells
+            padded += res.padded_cells
         return ScoreResult(scores, cells, padded, time.perf_counter() - t0)
 
     def _score_pairs_stream(

@@ -56,18 +56,38 @@ def cmd_score(args) -> int:
     from swtpu.bank import ScoreBank
     from swtpu.config import Penalties, SWConfig
 
+    if args.score_width and args.backend not in ("auto", "pallas"):
+        # fail like every other CLI argument error (clean SystemExit, not a
+        # ScoreBank ValueError traceback): wrap-parity lives in the column
+        # kernel only
+        raise SystemExit(
+            f"--score-width requires the column kernel: use --backend "
+            f"pallas (or auto), not {args.backend!r}"
+        )
     pen = Penalties(args.match, args.mismatch, args.gap_open, args.gap_extend)
     query, names, targets = _load(args.query, args.library)
     max_len = max((len(t) for t in targets), default=0)
-    buckets = tuple(b for b in (32, 128, 512, 2048, 8192) if b >= 32)
-    if max_len > buckets[-1]:
-        raise SystemExit(f"read length {max_len} exceeds capacity {buckets[-1]}")
+    try:
+        buckets = tuple(int(b) for b in args.buckets.split(","))
+    except ValueError:
+        raise SystemExit(f"--buckets must be comma-separated ints: {args.buckets!r}")
     cfg = SWConfig(
         penalties=pen,
         target_buckets=buckets,
         score_width=args.score_width or None,
     )
     bank = ScoreBank(cfg, backend=args.backend)
+    if bank.backend != "stream" and max_len > buckets[-1]:
+        # only the bucketed backends have a static capacity ladder; the
+        # stream backend's target axis is unbounded by design
+        # (pallas_stream.py:32-35) — a 20-kb read sails through the front
+        # door on TPU (the reference's TARGET_LENGTH cap, ScoreBank_v2.v:16,
+        # is NOT re-imposed voluntarily)
+        raise SystemExit(
+            f"read length {max_len} exceeds bucket capacity {buckets[-1]} "
+            f"on the {bank.backend!r} backend (raise --buckets, or use the "
+            "stream backend)"
+        )
     event_log = None
     if args.events:
         from swtpu.utils import EventLog
@@ -270,6 +290,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         "--score-width", dest="score_width", type=int, default=0,
         help="emulate the RTL's SCORE_WIDTH-bit biased registers, including "
         "overflow wrap (0 = exact int32 scoring; the hardware default is 12)",
+    )
+    ps.add_argument(
+        "--buckets", default="32,128,512,2048,8192",
+        help="target-length bucket ladder for the bucketed backends "
+        "(SWConfig.target_buckets); the stream backend ignores it — its "
+        "target axis is unbounded",
     )
     ps.add_argument("--events", help="write per-batch JSONL event log here")
     ps.add_argument("--profile", help="write a jax.profiler trace to this dir")

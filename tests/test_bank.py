@@ -178,3 +178,52 @@ def test_pack_pair_streams_chunking_limit():
     targets = [rng.integers(0, 4, size=12).astype(np.int8) for _ in range(9)]
     with pytest.raises(ValueError, match="distinct queries"):
         pack_pair_streams(queries, targets, n_streams=4)
+
+
+def test_score_pairs_stream_mixed_long_queries():
+    """Round-4: a pair set mixing <=128-base and >128-base queries stays on
+    the wavefront — short pairs ride the pair streams, each distinct long
+    query's pairs chain query tiles (no silent column-path downgrade)."""
+    rng = np.random.default_rng(15)
+    n = 18
+    q_long_a = rng.integers(0, 4, size=500).astype(np.int8)
+    q_long_b = rng.integers(0, 4, size=200).astype(np.int8)
+    queries = []
+    for i in range(n):
+        if i % 3 == 0:
+            queries.append(q_long_a)
+        elif i % 3 == 1:
+            queries.append(rng.integers(0, 4, size=64).astype(np.int8))
+        else:
+            queries.append(q_long_b)
+    targets = [
+        rng.integers(0, 4, size=rng.integers(2, 70)).astype(np.int8)
+        for _ in range(n)
+    ]
+    from swtpu.oracle import sw_score_single
+
+    want = np.array(
+        [sw_score_single(q, t) for q, t in zip(queries, targets)], np.int32
+    )
+    bank = ScoreBank(backend="stream", interpret=True)
+    res = bank.score_pairs(queries, targets)
+    np.testing.assert_array_equal(res.scores, want)
+    assert res.cells == sum(len(q) * len(t) for q, t in zip(queries, targets))
+
+
+def test_score_pairs_stream_all_long_queries():
+    rng = np.random.default_rng(16)
+    q_long = rng.integers(0, 4, size=300).astype(np.int8)
+    queries = [q_long] * 5
+    targets = [
+        rng.integers(0, 4, size=rng.integers(5, 60)).astype(np.int8)
+        for _ in range(5)
+    ]
+    from swtpu.oracle import sw_score_single
+
+    want = np.array(
+        [sw_score_single(q, t) for q, t in zip(queries, targets)], np.int32
+    )
+    bank = ScoreBank(backend="stream", interpret=True)
+    res = bank.score_pairs(queries, targets)
+    np.testing.assert_array_equal(res.scores, want)
