@@ -326,19 +326,15 @@ def main():
         res = _spawn("cpu", min(240, budget()))
         emit(res["gcups"] if res else 0.0)
 
-    # 1) probe the tunnel; retry while we have budget (wedges are transient).
-    # A loaded-but-healthy tunnel has answered probes in ~55 s, so the
-    # per-probe timeout must be well past that (round-3 rehearsal lesson:
-    # 75 s probes all timed out right after a heavy campaign while the
-    # stages themselves would have run).
+    # 1) probe the tunnel ONCE (round-3 lesson: two 110-s probe timeouts ate
+    # 42% of the budget before the fallback plan rescued the run — the
+    # stages already carry their own hard timeouts, so the probe's only job
+    # is picking the plan order, and one attempt is enough for that).  A
+    # loaded-but-healthy tunnel has answered probes in ~55 s, so the probe
+    # timeout must stay well past that.
     probed = False
-    for attempt in range(2):
-        if budget() < 130:
-            break
-        if _spawn("probe", min(110, budget() - 10)) is not None:
-            probed = True
-            break
-        time.sleep(min(20, max(0, budget() - 110)))
+    if budget() > 130:
+        probed = _spawn("probe", min(110, budget() - 10)) is not None
 
     # 2) staged measurement: best-first, each stage self-contains its floor;
     # the parent keeps the best number seen and emits it at the end — a

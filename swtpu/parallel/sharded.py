@@ -94,15 +94,8 @@ def make_sharded_stream_scorer(
         )
         if not k:
             return s[None, :]
-        live = ids[0] >= 0
-        masked = jnp.where(live, s, jnp.iinfo(jnp.int32).min)
-        kk = min(k, masked.shape[0])
-        loc_s, loc_i = jax.lax.top_k(masked, kk)
-        loc_ids = ids[0][loc_i]
-        all_s = jax.lax.all_gather(loc_s, axis, tiled=True)
-        all_ids = jax.lax.all_gather(loc_ids, axis, tiled=True)
-        fin_s, fin_i = jax.lax.top_k(all_s, k)
-        return s[None, :], fin_s, all_ids[fin_i]
+        fin_s, fin_ids = _merge_topk(s, ids[0], k, axis)
+        return s[None, :], fin_s, fin_ids
 
     specs5 = (
         P(axis, None, None),
@@ -146,12 +139,28 @@ def make_sharded_topk(
     )
     def score_topk(q, t, ids):
         s = kernel(q, t)
-        kk = min(k, s.shape[0])
-        loc_s, loc_i = jax.lax.top_k(s, kk)
-        loc_ids = ids[loc_i]
-        all_s = jax.lax.all_gather(loc_s, axis, tiled=True)
-        all_ids = jax.lax.all_gather(loc_ids, axis, tiled=True)
-        fin_s, fin_i = jax.lax.top_k(all_s, k)
-        return fin_s, all_ids[fin_i], s
+        fin_s, fin_ids = _merge_topk(s, ids, k, axis)
+        return fin_s, fin_ids, s
 
     return jax.jit(score_topk)
+
+
+def _merge_topk(s, ids, k: int, axis: str):
+    """Collective top-K with host-consistent tie ordering: equal scores
+    rank by ascending database id, exactly like ScoreResult.top_k's stable
+    argsort — so the single-chip and sharded answers agree bit-for-bit on
+    tied databases.  Sentinel rows (id < 0) are masked below every real
+    score and can only appear when k exceeds live rows."""
+    live = ids >= 0
+    masked = jnp.where(live, s, -(2 ** 30))
+    kk = min(k, masked.shape[0])
+    # per-shard cut: lax.top_k is stable by position and shard rows are
+    # id-ascending (round-robin deal), so equal scores keep lowest ids
+    loc_s, loc_i = jax.lax.top_k(masked, kk)
+    loc_ids = ids[loc_i]
+    all_s = jax.lax.all_gather(loc_s, axis, tiled=True)
+    all_ids = jax.lax.all_gather(loc_ids, axis, tiled=True)
+    # final cut: explicit (score desc, id asc) lexicographic order — a
+    # plain top_k here would break ties by shard position instead of id
+    order = jnp.lexsort((all_ids, -all_s))[:k]
+    return all_s[order], all_ids[order]
