@@ -54,6 +54,8 @@ def score_database_multihost(
     k: int = 10,
     backend: str = "auto",
     penalties=None,
+    n_streams: Optional[int] = None,
+    stream_steps: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Score this host's shard within the global job.
 
@@ -61,8 +63,15 @@ def score_database_multihost(
     globally merged and replicated on every host (the bank-wide best-hit
     capability, ScoreBank/ScoreBank_v2.v:42-43).
 
+    backend 'auto' resolves to the flagship streamed-wavefront kernel —
+    the bank instantiates its fastest array as THE path
+    (ScoreBank/ScoreBank_v2.v:117) — compiled Mosaic on TPU, interpret mode
+    elsewhere; 'scan'/'pallas' select the dense bucketed fallbacks.
+
     All hosts must call this collectively with equal per-host batch shapes
-    (pad with sentinel rows, id -1).
+    (dense backends: pad with sentinel rows, id -1; stream backend: equal
+    per-host read counts and target-length mix, or pass `stream_steps` to
+    pin the packed stream length when workloads are ragged across hosts).
     """
     import jax
 
@@ -75,7 +84,12 @@ def score_database_multihost(
     if mesh is None:
         mesh = make_mesh()
     if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "scan"
+        backend = "stream"
+    if backend == "stream":
+        return _score_database_multihost_stream(
+            query, local_targets, local_ids, mesh, k, pen,
+            n_streams=n_streams, stream_steps=stream_steps,
+        )
 
     B = len(local_targets)
     n_max = max((len(t) for t in local_targets), default=1)
@@ -94,5 +108,77 @@ def score_database_multihost(
     top_s, top_ids, scores = topk(qg, tg, idsg)
     local_scores = np.concatenate(
         [np.asarray(s.data) for s in scores.addressable_shards]
+    )
+    return np.asarray(top_s), np.asarray(top_ids), local_scores
+
+
+def _score_database_multihost_stream(
+    query: np.ndarray,
+    local_targets: Sequence[np.ndarray],
+    local_ids: np.ndarray,
+    mesh,
+    k: int,
+    pen,
+    n_streams: Optional[int] = None,
+    stream_steps: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """The flagship path at multi-host scale: this process packs its shard
+    of the database into per-device feeder banks (pack_streams_sharded over
+    its local devices), the global mesh dispatches ONE shard_map of the
+    streamed wavefront kernel, and the merged top-K replicates everywhere.
+
+    Proven as real Mosaic under shard_map on hardware (BENCH_NOTES.md
+    round-4: mesh(1) over the real chip, parity + GCUPS recorded)."""
+    import jax
+
+    from swtpu.bank.streams import (
+        STREAM_PAD, pack_streams_sharded, scatter_sharded_scores,
+    )
+    from swtpu.parallel.sharded import make_sharded_stream_scorer
+
+    on_tpu = jax.default_backend() == "tpu"
+    interpret = not on_tpu
+    rows = 16 if on_tpu else 1
+    if n_streams is None:
+        n_streams = 512 if on_tpu else 8
+    pidx = jax.process_index()
+    L = sum(1 for d in mesh.devices.flat if d.process_index == pidx)
+    batch = pack_streams_sharded(
+        query, local_targets, n_shards=L, n_streams=n_streams, rows=rows
+    )
+    stream = batch.stream
+    if stream_steps is not None:
+        if stream.shape[2] > stream_steps:
+            raise ValueError(
+                f"packed stream needs {stream.shape[2]} steps > pinned "
+                f"stream_steps={stream_steps}"
+            )
+        wide = np.full(
+            (L, n_streams, stream_steps), STREAM_PAD, np.int8
+        )
+        wide[:, :, : stream.shape[2]] = stream
+        stream = wide
+    # emission ids become GLOBAL read ids (the ID-FIFO pairing across the
+    # whole job); padding slots stay -1
+    gids = np.where(
+        batch.ids >= 0,
+        np.asarray(local_ids, np.int32)[np.maximum(batch.ids, 0)],
+        np.int32(-1),
+    ).astype(np.int32)
+
+    qg = shard_rows(batch.q, mesh)
+    sg = shard_rows(stream, mesh)
+    esg = shard_rows(batch.emit_stream, mesh)
+    epg = shard_rows(batch.emit_step.astype(np.int32), mesh)
+    idsg = shard_rows(gids, mesh)
+    scorer = make_sharded_stream_scorer(
+        mesh, penalties=pen, interpret=interpret, k=k, rows=rows,
+        state_dtype="float32" if on_tpu else "int32",
+    )
+    s, top_s, top_ids = scorer(qg, sg, esg, epg, idsg)
+    shards = sorted(s.addressable_shards, key=lambda x: x.index[0].start or 0)
+    local_shard_scores = np.stack([np.asarray(x.data)[0] for x in shards])
+    local_scores = scatter_sharded_scores(
+        local_shard_scores, batch, len(local_targets)
     )
     return np.asarray(top_s), np.asarray(top_ids), local_scores

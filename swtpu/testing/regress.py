@@ -52,10 +52,18 @@ def run_multihost(
     adversary_worker: Optional[int] = None,
     adversary_mode: str = "corrupt",
     audit_rows: int = 4,
+    mode: str = "pairs",
+    lens: Optional[np.ndarray] = None,
 ) -> MultihostResult:
     """Score (q, t) across `nprocs` localhost processes; returns merged,
     cross-checked results.  If kill_worker is set, that worker is SIGKILLed
     on the first attempt and the whole job re-runs (shard-rerun recovery).
+
+    mode 'pairs': q is [B, m], row i scores against t row i (the dense
+    collective-topk path).  mode 'database': q is ONE 1-D query replicated
+    against every t row (pad rows with T_PAD, pass `lens`) — each worker
+    routes its shard through the PRODUCTION score_database_multihost stream
+    path (flagship wavefront backend).
 
     If adversary_worker is set, that worker acts as a lying device (the
     PSLSE Test-AFU analog: fake hardware that misbehaves,
@@ -64,14 +72,19 @@ def run_multihost(
     analog), the algebraic score-bound check, or an independent oracle
     audit of `audit_rows` sample rows per shard — and recover by re-scoring
     the bad shard itself (shard-rerun recovery, SURVEY.md §5)."""
-    B = q.shape[0]
+    B = t.shape[0]
     assert B % nprocs == 0
+    if lens is None:
+        lens = np.full(B, t.shape[1], np.int32)
+    # audit view: in database mode every row pairs the one query (tiled;
+    # sentinel pads never change a score, so padded audits stay exact)
+    q2d = np.tile(np.asarray(q)[None, :], (B, 1)) if mode == "database" else q
     killed: List[int] = []
     for attempt in range(1, max_attempts + 1):
         with tempfile.TemporaryDirectory(prefix="swtpu_mh_") as td:
             tdp = Path(td)
             inp = tdp / "input.npz"
-            np.savez(inp, q=q, t=t, ids=ids)
+            np.savez(inp, q=q, t=t, ids=ids, mode=mode, lens=lens)
             port = _free_port()
             procs = []
             env = dict(os.environ)
@@ -130,7 +143,7 @@ def run_multihost(
             # analog): checksum, score bounds, then an independent oracle
             # audit of a few rows per shard — catches a shard whose
             # *device* lies even when every process exits 0
-            bad = _find_bad_shards(q, t, shard_rows_of, audit_rows)
+            bad = _find_bad_shards(q2d, t, shard_rows_of, audit_rows)
             if bad:
                 # shard-rerun recovery: re-score ONLY the bad shards with
                 # the host kernel and rebuild the merged top-K
@@ -138,8 +151,10 @@ def run_multihost(
 
                 for pid in bad:
                     rows = shard_rows_of[pid][0]
-                    scores[rows] = np.asarray(sw_scores_scan(q[rows], t[rows]))
-                order = np.argsort(-scores, kind="stable")[: len(top_s)]
+                    scores[rows] = np.asarray(sw_scores_scan(q2d[rows], t[rows]))
+                # (score desc, id asc) — the same tie order as the
+                # collective merge (_merge_topk) and ScoreResult.top_k
+                order = np.lexsort((ids, -scores))[: len(top_s)]
                 top_s = scores[order].astype(top_s.dtype)
                 top_ids = ids[order].astype(top_ids.dtype)
             return MultihostResult(

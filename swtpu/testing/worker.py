@@ -57,30 +57,44 @@ def main(argv=None) -> int:
     from swtpu.parallel import make_mesh, make_sharded_topk
 
     data = np.load(args.input)
+    mode = str(data["mode"]) if "mode" in data else "pairs"
     q, t, ids = data["q"], data["t"], data["ids"]
-    B = q.shape[0]
+    B = t.shape[0]
     n_dev = len(jax.devices())
     assert B % n_dev == 0, (B, n_dev)
     shard_rows = B // args.nprocs
+    lo, hi = args.pid * shard_rows, (args.pid + 1) * shard_rows
 
     mesh = make_mesh()
-    sharding = NamedSharding(mesh, P("data", None))
-    lo, hi = args.pid * shard_rows, (args.pid + 1) * shard_rows
-    qg = jax.make_array_from_process_local_data(sharding, q[lo:hi])
-    tg = jax.make_array_from_process_local_data(sharding, t[lo:hi])
-    idsg = jax.make_array_from_process_local_data(
-        NamedSharding(mesh, P("data")), ids[lo:hi]
-    )
+    if mode == "database":
+        # the PRODUCTION multi-host path: one replicated query, this
+        # process's database shard, flagship stream backend
+        # (score_database_multihost backend='auto' -> stream)
+        from swtpu.parallel.multihost import score_database_multihost
 
-    topk = make_sharded_topk(mesh, k=args.topk)
-    top_s, top_ids, scores = topk(qg, tg, idsg)
-    # each process materializes the replicated top-K and its local score rows
-    local_scores = np.concatenate(
-        [np.asarray(s.data) for s in scores.addressable_shards]
-    )
-    local_rows = np.concatenate(
-        [np.arange(*s.index[0].indices(B)[:2]) for s in scores.addressable_shards]
-    )
+        lens = data["lens"]
+        local_targets = [t[i, : lens[i]] for i in range(lo, hi)]
+        top_s, top_ids, local_scores = score_database_multihost(
+            q, local_targets, ids[lo:hi], mesh=mesh, k=args.topk
+        )
+        local_rows = np.arange(lo, hi)
+    else:
+        sharding = NamedSharding(mesh, P("data", None))
+        qg = jax.make_array_from_process_local_data(sharding, q[lo:hi])
+        tg = jax.make_array_from_process_local_data(sharding, t[lo:hi])
+        idsg = jax.make_array_from_process_local_data(
+            NamedSharding(mesh, P("data")), ids[lo:hi]
+        )
+
+        topk = make_sharded_topk(mesh, k=args.topk)
+        top_s, top_ids, scores = topk(qg, tg, idsg)
+        # each process materializes the replicated top-K and its local rows
+        local_scores = np.concatenate(
+            [np.asarray(s.data) for s in scores.addressable_shards]
+        )
+        local_rows = np.concatenate(
+            [np.arange(*s.index[0].indices(B)[:2]) for s in scores.addressable_shards]
+        )
     from swtpu.utils.guards import checksum
 
     if args.adversary == "corrupt":

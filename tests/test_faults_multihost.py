@@ -79,3 +79,55 @@ def test_lying_device_detected_and_shard_rerun(mode):
     np.testing.assert_array_equal(res.scores, want)  # recovery healed it
     for s, i in zip(res.top_s, res.top_ids):
         assert want[i] == s
+
+
+@pytest.mark.multihost
+def test_two_process_database_stream_path():
+    """Round-4 (VERDICT #1): the PRODUCTION multi-host API
+    (score_database_multihost, backend auto -> the flagship stream kernel)
+    across 2 OS processes: one replicated query, sharded ragged database,
+    merged top-K replicated and host-tie-consistent."""
+    from swtpu.ops.common import T_PAD
+    from swtpu.testing.regress import run_multihost
+
+    rng = np.random.default_rng(4)
+    B, n = 16, 32
+    query = rng.integers(0, 4, size=18).astype(np.int8)
+    lens = rng.integers(5, n + 1, size=B).astype(np.int32)
+    t = np.full((B, n), T_PAD, np.int8)
+    for i in range(B):
+        t[i, : lens[i]] = rng.integers(0, 4, size=lens[i]).astype(np.int8)
+    targets = [t[i, : lens[i]] for i in range(B)]
+    want = score_many_vs_one(query, targets)
+    ids = np.arange(B, dtype=np.int32)
+    res = run_multihost(
+        query, t, ids, nprocs=2, topk=5, mode="database", lens=lens
+    )
+    np.testing.assert_array_equal(res.scores, want)
+    got = list(zip(res.top_s.tolist(), res.top_ids.tolist()))
+    host = sorted(zip(want.tolist(), (-ids).tolist()), reverse=True)[:5]
+    assert got == [(s, -negi) for s, negi in host]
+    assert res.attempts == 1
+
+
+@pytest.mark.multihost
+def test_lying_device_on_database_stream_path():
+    from swtpu.ops.common import T_PAD
+    from swtpu.testing.regress import run_multihost
+
+    rng = np.random.default_rng(5)
+    B, n = 8, 24
+    query = rng.integers(0, 4, size=12).astype(np.int8)
+    lens = rng.integers(4, n + 1, size=B).astype(np.int32)
+    t = np.full((B, n), T_PAD, np.int8)
+    for i in range(B):
+        t[i, : lens[i]] = rng.integers(0, 4, size=lens[i]).astype(np.int8)
+    targets = [t[i, : lens[i]] for i in range(B)]
+    want = score_many_vs_one(query, targets)
+    ids = np.arange(B, dtype=np.int32)
+    res = run_multihost(
+        query, t, ids, nprocs=2, mode="database", lens=lens,
+        adversary_worker=0, adversary_mode="corrupt",
+    )
+    assert res.bad_shards == [0]
+    np.testing.assert_array_equal(res.scores, want)
