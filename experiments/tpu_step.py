@@ -287,6 +287,46 @@ def _e2e_dataset(db, queryf, scale=0):
     )
 
 
+def _e2e_overlap(chunks=(0, 1 << 17), B=1 << 18, n=128, reps=3):
+    """VERDICT r3 #2: transfer/compute overlap.  End-to-end ScoreBank
+    timing (pack + wire + H2D + kernel + D2H) on B equal 128-nt reads,
+    monolithic dispatch vs the pipelined chunked path; parity enforced
+    between configs and against the oracle on a 64-read window."""
+    from swtpu.bank.scorebank import ScoreBank
+    from swtpu.config import SWConfig
+    from swtpu.oracle import score_many_vs_one
+
+    rng = np.random.default_rng(0)
+    query = rng.integers(0, 4, size=128).astype(np.int8)
+    th = rng.integers(0, 4, size=(B, n)).astype(np.int8)
+    lens = np.full(B, n, np.int32)
+    want64 = score_many_vs_one(query, list(th[:64]))
+    base_scores = None
+    for C in chunks:
+        bank = ScoreBank(
+            SWConfig(stream_chunk_reads=C), backend="stream", interpret=False
+        )
+        t0 = time.time()
+        r = bank.score_database(query, (th, lens))  # compile + warm
+        log(f"e2e chunk={C}: compile+warm {time.time()-t0:.0f}s")
+        if not np.array_equal(r.scores[:64], want64):
+            log(f"e2e chunk={C}: PARITY MISMATCH vs oracle")
+            return
+        if base_scores is None:
+            base_scores = r.scores
+        elif not np.array_equal(r.scores, base_scores):
+            log(f"e2e chunk={C}: MISMATCH vs monolithic scores")
+            return
+        best = 1e9
+        for _ in range(reps):
+            r = bank.score_database(query, (th, lens))
+            best = min(best, r.elapsed_s)
+        log(
+            f"e2e chunk={C}: best {best*1e3:.0f} ms -> "
+            f"{B/best/1e6:.2f} Mreads/s, {r.cells/best/1e9:.1f} GCUPS e2e"
+        )
+
+
 def _shmosaic_smoke():
     """VERDICT r3 #1 (part 1): the production sharded stream scorer
     (make_sharded_stream_scorer) compiled as REAL Mosaic (interpret=False)
@@ -668,6 +708,11 @@ STEPS = {
     "shmosaic_w5": lambda: _shmosaic_chain(ks=(5,)),
     "shmosaic_chain": lambda: _shmosaic_chain(ks=(1, 5)),
     "shmosaic_chain17": lambda: _shmosaic_chain(ks=(1, 17)),
+    # round-4: e2e transfer/compute overlap A/B (warm each config in its
+    # own step so no single process exceeds a compile budget)
+    "e2e_overlap_w0": lambda: _e2e_overlap(chunks=(0,), reps=1),
+    "e2e_overlap_w17": lambda: _e2e_overlap(chunks=(0, 1 << 17), reps=1),
+    "e2e_overlap": lambda: _e2e_overlap(chunks=(0, 1 << 17, 1 << 16)),
     "chain_col": lambda: _chain_col("int32"),
     "chain_col_i16": lambda: _chain_col("int16"),
     "chain_col_f32": lambda: _chain_col("float32"),

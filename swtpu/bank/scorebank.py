@@ -508,6 +508,108 @@ class ScoreBank:
             )
         return ScoreResult(scores, batch.cells, padded, elapsed)
 
+    def _score_database_stream_chunked(
+        self, query, targets, event_log, tmat, tlens,
+        segments: int, rows: int, phys: int, t0: float,
+    ) -> ScoreResult:
+        """Pipelined stream scoring: the database splits into chunks of
+        `SWConfig.stream_chunk_reads`; each chunk's pack + wire-compress runs
+        on the host WHILE the previous chunk's H2D transfer and kernel are in
+        flight (JAX async dispatch), and nothing blocks until every chunk is
+        dispatched.  The TPU-native form of the feeders' double buffering —
+        the next target stages while the current one streams
+        (SM_Feeder2.v:104-110) over the pipelined tagged DMA (dma.v:472-491).
+
+        Chunk stream lengths snap to a power-of-two ladder so equal-rung
+        chunks reuse ONE compiled executable (static shapes under jit)."""
+        import jax
+
+        from swtpu.bank.streams import (
+            LANES, STREAM_PAD, pack_stream_wire, pack_streams,
+        )
+        from swtpu.ops.pallas_stream import (
+            STEP_CHUNK, sw_scores_stream, sw_scores_stream_packed,
+        )
+
+        C = self.config.stream_chunk_reads
+        n_reads = len(tlens) if tlens is not None else len(targets)
+        S = phys * segments
+        pending = []  # (lo, hi, device scores [C], cells, padded)
+        dq = None  # device-resident query registers (identical every chunk)
+        cells = padded = 0
+        for lo in range(0, n_reads, C):
+            hi = min(lo + C, n_reads)
+            if tlens is not None:
+                batch = pack_streams(
+                    query, tmat[lo:hi], n_streams=S, segments=segments,
+                    lens=tlens[lo:hi], rows=rows,
+                )
+            else:
+                batch = pack_streams(
+                    query, [targets[i] for i in range(lo, hi)], n_streams=S,
+                    segments=segments, rows=rows,
+                )
+            if self.verify_integrity:
+                from swtpu.utils.guards import check_stream_batch
+
+                check_stream_batch(batch)
+            # snap T to the power-of-two ladder (extra drain pads are
+            # score-inert; every emission precedes them)
+            T = batch.stream.shape[1]
+            Tq = STEP_CHUNK
+            while Tq < T:
+                Tq *= 2
+            stream = batch.stream
+            if Tq != T:
+                stream = np.full((S, Tq), STREAM_PAD, np.int8)
+                stream[:, :T] = batch.stream
+            # fixed-width emission maps (pad slots emit score 0, discarded)
+            es = np.zeros((C,), np.int32)
+            ep = np.full((C,), -1, np.int32)
+            es[: hi - lo] = batch.emit_stream
+            ep[: hi - lo] = batch.emit_step.astype(np.int32)
+            if dq is None:
+                dq = jax.device_put(batch.q)
+            kw = dict(
+                penalties=self.config.penalties, interpret=self._interpret,
+                segments=segments, rows=rows,
+                state_dtype=self._stream_dtype(),
+            )
+            if self.config.wire_2bit and not self._interpret:
+                codes, flags = pack_stream_wire(stream)
+                dev = sw_scores_stream_packed(dq, codes, flags, es, ep, **kw)
+            else:
+                dev = sw_scores_stream(dq, stream, es, ep, **kw)
+            chunk_padded = stream.shape[0] * Tq * (LANES // segments)
+            pending.append((lo, hi, dev, batch.cells, chunk_padded))
+        scores = np.zeros((n_reads,), dtype=np.int32)
+        for lo, hi, dev, c, p in pending:
+            scores[lo:hi] = np.asarray(dev)[: hi - lo]
+            cells += c
+            padded += p
+        if self.verify_integrity:
+            from swtpu.utils.guards import check_scores
+
+            t_lens = tlens if tlens is not None else np.fromiter(
+                (len(t) for t in targets), np.int64, n_reads
+            )
+            check_scores(
+                scores, np.full(n_reads, len(query)), t_lens,
+                self.config.penalties.match,
+            )
+        elapsed = time.perf_counter() - t0
+        if event_log is not None:
+            from swtpu.utils import BatchEvent
+
+            event_log.emit(
+                BatchEvent(
+                    "stream_pipelined", t_wall=time.time(), elapsed_s=elapsed,
+                    reads=n_reads, cells=cells, padded_cells=padded,
+                    note=f"chunks={len(pending)} chunk_reads={C} streams={S}",
+                )
+            )
+        return ScoreResult(scores, cells, padded, elapsed)
+
     def _score_database_stream(
         self, query, targets, event_log=None, tmat=None, tlens=None
     ) -> ScoreResult:
@@ -536,6 +638,12 @@ class ScoreBank:
         # logical streams = physical lane columns x segments; S=512 physical
         # is the measured sweet spot (BENCH_NOTES.md)
         phys = self.config.stream_phys if not self._interpret else 8
+        chunk_reads = self.config.stream_chunk_reads
+        if chunk_reads and n_reads > chunk_reads:
+            return self._score_database_stream_chunked(
+                query, targets, event_log, tmat=tmat, tlens=tlens,
+                segments=segments, rows=rows, phys=phys, t0=t0,
+            )
         if tlens is not None:
             batch = pack_streams(
                 query, tmat, n_streams=phys * segments, segments=segments,

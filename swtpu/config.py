@@ -91,6 +91,14 @@ class SWConfig:
     # `rows`.  0 = auto (pick the fastest measured config for the segment
     # count); 1 = classic one-row wavefront.
     stream_rows: int = 0
+    # reads per pipelined stream dispatch in score_database (0 = one
+    # monolithic dispatch).  With chunking, the host packs chunk i+1 while
+    # chunk i's H2D + kernel are in flight (JAX async dispatch) — the
+    # feeder double-buffering analog (SM_Feeder2.v:104-110 staging buffer,
+    # dma.v:472-491 pipelined tagged reads).  Chunk stream lengths snap to
+    # a power-of-two ladder so every equal rung reuses one compiled
+    # executable.
+    stream_chunk_reads: int = 0
     # physical lane columns (streams) per stream-kernel invocation.  512 is
     # the measured sweet spot for the rows=16 flagship kernel
     # (BENCH_NOTES.md: S=256/512/1024); logical streams = stream_phys x

@@ -227,3 +227,32 @@ def test_score_pairs_stream_all_long_queries():
     bank = ScoreBank(backend="stream", interpret=True)
     res = bank.score_pairs(queries, targets)
     np.testing.assert_array_equal(res.scores, want)
+
+
+def test_stream_chunked_pipeline_parity():
+    """Round-4 (VERDICT #2): the pipelined chunked stream path is
+    bit-identical to the monolithic dispatch, for ragged lists and dense
+    databases, across chunk boundaries and the padded final chunk."""
+    rng = np.random.default_rng(20)
+    targets = [
+        rng.integers(0, 4, size=rng.integers(2, 70)).astype(np.int8)
+        for _ in range(29)
+    ]
+    query = rng.integers(0, 4, size=50).astype(np.int8)
+    want = score_many_vs_one(query, targets)
+    bank = ScoreBank(
+        SWConfig(stream_chunk_reads=8), backend="stream", interpret=True
+    )
+    res = bank.score_database(query, targets)
+    np.testing.assert_array_equal(res.scores, want)
+    assert res.cells == sum(len(query) * len(t) for t in targets)
+
+    # dense form through the same chunker
+    w = max(len(t) for t in targets)
+    mat = np.zeros((len(targets), w), np.int8)
+    lens = np.zeros(len(targets), np.int32)
+    for i, t in enumerate(targets):
+        mat[i, : len(t)] = t
+        lens[i] = len(t)
+    res2 = bank.score_database(query, (mat, lens))
+    np.testing.assert_array_equal(res2.scores, want)
