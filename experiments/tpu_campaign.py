@@ -112,6 +112,21 @@ QUEUES = {
         (["experiments/tpu_step.py", "shmosaic_chain"], 900),
         (["experiments/tpu_step.py", "shmosaic_chain17"], 900),
     ],
+    # round 4b: e2e overlap A/B, big-batch sharded slope, biased-stream
+    # hardware parity + throughput
+    "r4b": [
+        (["experiments/tpu_step.py", "e2e_overlap_w0"], 1500),
+        (["experiments/tpu_step.py", "e2e_overlap_w17"], 1500),
+        (["experiments/tpu_step.py", "e2e_overlap"], 1500),
+        (["experiments/tpu_step.py", "shmosaic_big_w1"], 1500),
+        (["experiments/tpu_step.py", "shmosaic_big_w33"], 1500),
+        (["experiments/tpu_step.py", "shmosaic_big"], 900),
+        (["experiments/tpu_step.py", "biased_parity_r16"], 1500),
+        (["experiments/tpu_step.py", "biased_w1"], 1500),
+        (["experiments/tpu_step.py", "biased_w5"], 1500),
+        (["experiments/tpu_step.py", "biased_chain"], 900),
+        (["bench.py"], 560),
+    ],
     "perf1": [
         # (argv, timeout_s)
         (["experiments/tpu_step.py", "probe"], 120),

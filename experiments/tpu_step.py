@@ -134,7 +134,7 @@ def _col_bench(state_dtype):
 
 
 def _chain_stream(S=256, ks=(1, 11), state_dtype="int32", rows=1, chunk=None,
-                  segments=1):
+                  segments=1, score_width=None):
     """Robust timing: k *data-dependent* kernel calls inside one jit, so
     per-kernel device time = (T[k2]-T[k1])/(k2-k1) with every fixed cost
     (dispatch, transfers, tunnel jitter) cancelled.
@@ -172,7 +172,8 @@ def _chain_stream(S=256, ks=(1, 11), state_dtype="int32", rows=1, chunk=None,
         for _ in range(k):
             strip = _strip_call(qk, s_in, ma, mi, go, ge, False,
                                 state_dtype=state_dtype, rows=rows,
-                                chunk=chunk, seg=segments)
+                                chunk=chunk, seg=segments,
+                                score_width=score_width)
             v = strip[-1, 0]  # data-dependent scalar
             acc = acc + v
             # force next call to depend on this result without changing data
@@ -195,7 +196,8 @@ def _chain_stream(S=256, ks=(1, 11), state_dtype="int32", rows=1, chunk=None,
         return
     k1, k2 = ks[0], ks[-1]
     per = (times[k2] - times[k1]) / (k2 - k1)
-    log(f"stream S={S} seg={segments} {state_dtype} rows={rows} chained: {per*1e3:.2f} ms/kernel"
+    w = f" W={score_width}" if score_width else ""
+    log(f"stream S={S} seg={segments} {state_dtype}{w} rows={rows} chained: {per*1e3:.2f} ms/kernel"
         f" -> {cells/per/1e9:.1f} GCUPS")
 
 
@@ -363,7 +365,44 @@ def _shmosaic_smoke():
         log("SHARDED MOSAIC SMOKE OK")
 
 
-def _shmosaic_chain(ks=(1, 5), rows=16, S=512, B=65536, state_dtype="float32"):
+def _parity_biased(rows=16, S=128, W=7):
+    """Compiled-TPU parity of the biased (wrap-parity) stream kernel vs the
+    contract oracle, on wrap-inducing high-identity reads (round-4: the
+    SCORE_WIDTH mode at flagship speed)."""
+    from swtpu.bank.streams import pack_streams
+    from swtpu.oracle import sw_score_single_biased
+    from swtpu.ops.pallas_stream import sw_scores_stream
+
+    rng = np.random.default_rng(50 + rows)
+    query = rng.integers(0, 4, size=100).astype(np.int8)
+    targets = [
+        rng.integers(0, 4, size=int(rng.integers(5, 90))).astype(np.int8)
+        for _ in range(30)
+    ]
+    for k in (20, 40, 60, 80, 100):  # wrap regime at W=7 (ceiling 63)
+        targets.append(query[:k].copy())
+    want = np.array(
+        [sw_score_single_biased(query, t, score_width=W) for t in targets],
+        np.int32,
+    )
+    b = pack_streams(query, targets, n_streams=S, rows=rows)
+    log(f"biased rows={rows} W={W} T={b.stream.shape[1]} compiling/running...")
+    got = np.asarray(
+        sw_scores_stream(
+            b.q, b.stream, b.emit_stream, b.emit_step.astype(np.int32),
+            rows=rows, state_dtype="int32", score_width=W,
+        )
+    )
+    bad = np.nonzero(got != want)[0]
+    log(f"biased parity rows={rows}: {len(bad)} mismatches / {len(targets)}")
+    for i in bad[:5]:
+        log(f"  read {i}: want {want[i]} got {got[i]}")
+    if len(bad) == 0:
+        log("BIASED PARITY OK")
+
+
+def _shmosaic_chain(ks=(1, 5), rows=16, S=512, B=65536, state_dtype="float32",
+                    check_top=True):
     """VERDICT r3 #1: the flagship config (rows=16, f32, S=512) as real
     Mosaic under shard_map on mesh(1) — scan-chain GCUPS + 64-read parity.
     Calls the literal production function (make_sharded_stream_scorer with
@@ -384,9 +423,11 @@ def _shmosaic_chain(ks=(1, 5), rows=16, S=512, B=65536, state_dtype="float32"):
         query, list(th), n_shards=1, n_streams=S, rows=rows
     )
     want = score_many_vs_one(query, th[:64])
-    t0 = time.time()
-    want_top3 = np.sort(score_many_vs_one(query, th))[-3:][::-1]
-    log(f"oracle top-3 in {time.time()-t0:.0f}s: {want_top3}")
+    want_top3 = None
+    if check_top:
+        t0 = time.time()
+        want_top3 = np.sort(score_many_vs_one(query, th))[-3:][::-1]
+        log(f"oracle top-3 in {time.time()-t0:.0f}s: {want_top3}")
     mesh = make_mesh(1)
     scorer = make_sharded_stream_scorer(
         mesh, interpret=False, rows=rows, state_dtype=state_dtype, k=3,
@@ -418,9 +459,9 @@ def _shmosaic_chain(ks=(1, 5), rows=16, S=512, B=65536, state_dtype="float32"):
         out = [np.asarray(x) for x in chain(dq, dstream, des, dep, dids, k)]
         log(f"shmosaic k={k}: compile+warm {time.time()-t0:.0f}s")
         ok = np.array_equal(out[1], want)
-        top_ok = np.array_equal(out[2], want_top3)
+        top_ok = want_top3 is None or np.array_equal(out[2], want_top3)
         log(f"shmosaic parity first-64: {'OK' if ok else 'MISMATCH'}; "
-            f"top-3 {'OK' if top_ok else 'MISMATCH'} ({out[2]})")
+            f"top-3 {'OK' if top_ok else 'unchecked'} ({out[2]})")
         if not ok:
             return
         best = 1e9
@@ -713,6 +754,18 @@ STEPS = {
     "e2e_overlap_w0": lambda: _e2e_overlap(chunks=(0,), reps=1),
     "e2e_overlap_w17": lambda: _e2e_overlap(chunks=(0, 1 << 17), reps=1),
     "e2e_overlap": lambda: _e2e_overlap(chunks=(0, 1 << 17, 1 << 16)),
+    # round-4: sharded chain at the bench's big batch (robust slope; the
+    # full-database oracle top-3 is skipped at this size)
+    "shmosaic_big_w1": lambda: _shmosaic_chain(ks=(1,), B=262144, check_top=False),
+    "shmosaic_big_w33": lambda: _shmosaic_chain(ks=(33,), B=262144, check_top=False),
+    "shmosaic_big": lambda: _shmosaic_chain(ks=(1, 33), B=262144, check_top=False),
+    # round-4: SCORE_WIDTH wrap-parity on the flagship stream kernel
+    "biased_parity_r16": lambda: _parity_biased(rows=16),
+    "biased_parity_r1": lambda: _parity_biased(rows=1),
+    "biased_w1": lambda: _chain_stream(512, ks=(1,), rows=16, score_width=12),
+    "biased_w5": lambda: _chain_stream(512, ks=(5,), rows=16, score_width=12),
+    # _chain_stream unrolls k in the jit body: measure at the warmed ks only
+    "biased_chain": lambda: _chain_stream(512, ks=(1, 5), rows=16, score_width=12),
     "chain_col": lambda: _chain_col("int32"),
     "chain_col_i16": lambda: _chain_col("int16"),
     "chain_col_f32": lambda: _chain_col("float32"),

@@ -79,17 +79,19 @@ class ScoreBank:
         self.config = config
         import jax
 
-        if config.score_width is not None and backend != "pallas":
-            # SCORE_WIDTH wrap-parity is implemented by the column kernel
-            # only (int16_biased mode): auto-resolve to it, but never
-            # silently override an explicitly requested backend (a callable
-            # test backend or 'scan' would otherwise stop being exercised)
+        if config.score_width is not None and backend not in ("pallas", "stream"):
+            # SCORE_WIDTH wrap-parity lives in the stream kernel (int32
+            # biased lanes — round 4) and the column kernel (int16_biased):
+            # auto-resolve to the flagship stream kernel on TPU, the column
+            # kernel elsewhere; never silently override an explicitly
+            # requested backend (a callable test backend or 'scan' would
+            # otherwise stop being exercised)
             if backend != "auto":
                 raise ValueError(
-                    "score_width requires the 'pallas' backend "
+                    "score_width requires the 'stream' or 'pallas' backend "
                     f"(got {backend!r})"
                 )
-            backend = "pallas"
+            backend = "stream" if jax.default_backend() == "tpu" else "pallas"
         elif backend == "auto":
             # the flagship path IS the default, exactly as the reference's
             # bank instantiates its fastest array (ScoreBank_v2.v:117): the
@@ -107,6 +109,9 @@ class ScoreBank:
         self.verify_integrity = verify_integrity
 
     def _stream_dtype(self) -> str:
+        if self.config.score_width is not None:
+            # wrap emulation is integer bit-twiddling; f32 lanes can't wrap
+            return "int32"
         sdt = self.config.stream_state_dtype
         if sdt == "auto":
             # float32 is exact for every reachable score and measured ~15%
@@ -124,6 +129,18 @@ class ScoreBank:
 
             return np.asarray(sw_scores_scan(q, t, pen))
         if self.backend == "stream":
+            if self.config.score_width is not None:
+                # biased long-query/bucketed fallback: the chained biased
+                # tiles live in the column kernel
+                from swtpu.ops.pallas_kernel import sw_scores_pallas
+
+                return np.asarray(
+                    sw_scores_pallas(
+                        q, t, pen, interpret=self._interpret,
+                        state_dtype="int16_biased",
+                        score_width=self.config.score_width,
+                    )
+                )
             # long-query fallback path: the column kernel (interpret mode
             # compiles slowly, so CPU testing uses scan instead)
             if self._interpret:
@@ -171,13 +188,16 @@ class ScoreBank:
                 return self._score_database_stream(
                     query, targets, event_log, tmat=tmat, tlens=tlens
                 )
-            # longer queries chain 128-row wavefront tiles, carrying the
-            # tail-row D/G/H strips between tiles — the reference's reserved
-            # chaining-port intent (ScoringModule_v1.1.v:36-54) at the fast
-            # kernel's speed
-            return self._score_database_stream_long(
-                query, targets, event_log, tmat=tmat, tlens=tlens
-            )
+            if self.config.score_width is None:
+                # longer queries chain 128-row wavefront tiles, carrying the
+                # tail-row D/G/H strips between tiles — the reference's
+                # reserved chaining-port intent (ScoringModule_v1.1.v:36-54)
+                # at the fast kernel's speed
+                return self._score_database_stream_long(
+                    query, targets, event_log, tmat=tmat, tlens=tlens
+                )
+            # biased long queries fall through to the bucketed dispatch
+            # (_score_batch routes the column kernel's chained biased tiles)
         t0 = time.perf_counter()
         batches = pack_many_vs_one(
             query,
@@ -394,6 +414,7 @@ class ScoreBank:
                     self.config.penalties, interpret=self._interpret,
                     segments=segments, rows=rows,
                     state_dtype=self._stream_dtype(),
+                    score_width=self.config.score_width,
                 )
             )
             if self.verify_integrity:
@@ -574,6 +595,7 @@ class ScoreBank:
                 penalties=self.config.penalties, interpret=self._interpret,
                 segments=segments, rows=rows,
                 state_dtype=self._stream_dtype(),
+                score_width=self.config.score_width,
             )
             if self.config.wire_2bit and not self._interpret:
                 codes, flags = pack_stream_wire(stream)
@@ -674,6 +696,7 @@ class ScoreBank:
                     self.config.penalties, interpret=self._interpret,
                     segments=segments, rows=rows,
                     state_dtype=self._stream_dtype(),
+                    score_width=self.config.score_width,
                 )
             )
         else:
@@ -684,6 +707,7 @@ class ScoreBank:
                     self.config.penalties, interpret=self._interpret,
                     segments=segments, rows=rows,
                     state_dtype=self._stream_dtype(),
+                    score_width=self.config.score_width,
                 )
             )
         if self.verify_integrity:

@@ -56,13 +56,13 @@ def cmd_score(args) -> int:
     from swtpu.bank import ScoreBank
     from swtpu.config import Penalties, SWConfig
 
-    if args.score_width and args.backend not in ("auto", "pallas"):
+    if args.score_width and args.backend not in ("auto", "pallas", "stream"):
         # fail like every other CLI argument error (clean SystemExit, not a
-        # ScoreBank ValueError traceback): wrap-parity lives in the column
-        # kernel only
+        # ScoreBank ValueError traceback): wrap-parity lives in the stream
+        # and column kernels
         raise SystemExit(
-            f"--score-width requires the column kernel: use --backend "
-            f"pallas (or auto), not {args.backend!r}"
+            f"--score-width requires the stream or column kernel: use "
+            f"--backend stream/pallas (or auto), not {args.backend!r}"
         )
     pen = Penalties(args.match, args.mismatch, args.gap_open, args.gap_extend)
     query, names, targets = _load(args.query, args.library)

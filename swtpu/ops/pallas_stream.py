@@ -56,7 +56,7 @@ STEP_CHUNK = 32
 
 def _stream_kernel(
     q_ref, s_ref, out_ref, gp, d1p, d2p, hp, cp, ap=None, *, ma, mi, go, ge,
-    seg, dt=None, tail_acc=False,
+    seg, dt=None, tail_acc=False, biased_width=None,
 ):
     """seg: query segments per lane column.  seg=1 uses all 128 rows for one
     query; seg=G packs G independent queries of <=128/G bases per column
@@ -68,6 +68,18 @@ def _stream_kernel(
     qcap = LANES // seg
     dt = dt or jnp.int32
     zero = jnp.array(0, dt)
+    if biased_width is not None:
+        # SCORE_WIDTH wrap-parity (SW_ProcessingElement_v1.0.v:15-20) on
+        # the flagship wavefront: state holds W-bit *biased unsigned*
+        # values (score + 2^(W-1)) in 32-bit lanes.  Only the M update
+        # wraps (& mask) + sign-bit clamps; the I/G chain provably never
+        # wraps step-wise (every cell's merged-I includes an
+        # M + open + extend candidate with M >= ZERO, so
+        # I in [ZERO+open+extend, mask]) — identical reasoning to the
+        # column kernel's int16_biased mode (pallas_kernel.py).
+        mask = jnp.array((1 << biased_width) - 1, dt)
+        zbit = jnp.array(1 << (biased_width - 1), dt)
+        zero = zbit
     c = pl.program_id(0)
     # masks always build in int32 (modulo/compare support), whatever dt is
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, 1), 0)
@@ -75,14 +87,14 @@ def _stream_kernel(
 
     @pl.when(c == 0)
     def _init():
-        z = jnp.zeros((LANES, S), dt)
+        z = jnp.full((LANES, S), zero, dt)
         gp[...] = z
         d1p[...] = z
         d2p[...] = z
         hp[...] = z
         cp[...] = jnp.full((LANES, S), 4, jnp.int32)  # sentinel-filled pipe
         if tail_acc:
-            ap[...] = jnp.zeros(ap.shape, dt)
+            ap[...] = jnp.full(ap.shape, zero, dt)
 
     # char pipe stays integer whatever the score-state dtype is (flag bit
     # tests and &7 are bitwise)
@@ -118,7 +130,11 @@ def _stream_kernel(
         # target starts (column -1)
         bmask = jnp.logical_or(seghead, f0)
         diag = jnp.where(bmask, zero, pltpu.roll(D2, 1, axis=0))
-        Mc = jnp.maximum(diag + s, 0)
+        if biased_width is None:
+            Mc = jnp.maximum(diag + s, 0)
+        else:
+            ms = (diag + s) & mask  # the RTL's W-bit adder wrap
+            Mc = jnp.where((ms & zbit) != 0, ms, zbit)  # sign-bit clamp
         # merged in-del via the gap source
         G_up = jnp.where(seghead, zero, pltpu.roll(Gp, 1, axis=0))
         G_left = jnp.where(f0, zero, Gp)
@@ -138,7 +154,8 @@ def _stream_kernel(
                     jnp.where(f0[tr, :], zero, acc[g]), Hc[tr, :]
                 )
                 acc[g] = a
-                tails.append(a[None, :].astype(jnp.int32))
+                emit = a if biased_width is None else a - zero
+                tails.append(emit[None, :].astype(jnp.int32))
             strip_rows.append(
                 tails[0] if seg == 1 else jnp.concatenate(tails, axis=1)
             )
@@ -149,8 +166,9 @@ def _stream_kernel(
             H_own = jnp.where(f0, zero, Hp)
             Hc = jnp.maximum(jnp.maximum(H_in, H_own), Mc)
             # capture each segment's tail row for the emission strip
+            He = Hc if biased_width is None else Hc - zero
             tails = [
-                Hc[(g + 1) * qcap - 1 : (g + 1) * qcap, :].astype(jnp.int32)
+                He[(g + 1) * qcap - 1 : (g + 1) * qcap, :].astype(jnp.int32)
                 for g in range(seg)
             ]
             strip_rows.append(
@@ -174,7 +192,7 @@ def _stream_kernel(
 
 def _stream_kernel_mr(
     q_ref, s_ref, out_ref, gp, d1p, d2p, hp, cp, ap, *, ma, mi, go, ge,
-    seg, R, dt=None,
+    seg, R, dt=None, biased_width=None,
 ):
     """Multi-row wavefront: R consecutive query rows fold into each sublane
     row (sublane k, sub-row r  <->  query row k*R + r), so the intra-step
@@ -195,19 +213,24 @@ def _stream_kernel_mr(
     SLg = SL // seg  # sublanes per segment
     dt = dt or jnp.int32
     zero = jnp.array(0, dt)
+    if biased_width is not None:
+        # W-bit biased wrap-parity; see _stream_kernel's note
+        mask = jnp.array((1 << biased_width) - 1, dt)
+        zbit = jnp.array(1 << (biased_width - 1), dt)
+        zero = zbit
     c = pl.program_id(0)
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (SL, 1), 0)
     seghead = row_iota % SLg == 0
 
     @pl.when(c == 0)
     def _init():
-        z = jnp.zeros((LANES, S), dt)
+        z = jnp.full((LANES, S), zero, dt)
         gp[...] = z
         d1p[...] = z
-        d2p[...] = jnp.zeros((SL, S), dt)
-        hp[...] = jnp.zeros((SL, S), dt)
+        d2p[...] = jnp.full((SL, S), zero, dt)
+        hp[...] = jnp.full((SL, S), zero, dt)
         cp[...] = jnp.full((SL, S), 4, jnp.int32)
-        ap[...] = jnp.zeros(ap.shape, dt)
+        ap[...] = jnp.full(ap.shape, zero, dt)
 
     qs = [q_ref[r * SL : (r + 1) * SL, :].astype(jnp.int32) for r in range(R)]
     sc = s_ref[...].astype(jnp.int32)
@@ -233,7 +256,11 @@ def _stream_kernel_mr(
         s0 = jnp.where(cval == qs[0], ma, mi).astype(dt)
         bmask = jnp.logical_or(seghead, f0)
         diag = jnp.where(bmask, zero, pltpu.roll(D2L, 1, axis=0))
-        Mc = jnp.maximum(diag + s0, 0)
+        if biased_width is None:
+            Mc = jnp.maximum(diag + s0, 0)
+        else:
+            ms = (diag + s0) & mask
+            Mc = jnp.where((ms & zbit) != 0, ms, zbit)
         G_up = jnp.where(seghead, zero, pltpu.roll(G[R - 1], 1, axis=0))
         G_left = jnp.where(f0, zero, G[0])
         Ic = jnp.maximum(G_up, G_left) + gext
@@ -248,7 +275,11 @@ def _stream_kernel_mr(
         for r in range(1, R):
             sr = jnp.where(cval == qs[r], ma, mi).astype(dt)
             diag_r = jnp.where(f0, zero, D[r - 1])
-            Mc = jnp.maximum(diag_r + sr, 0)
+            if biased_width is None:
+                Mc = jnp.maximum(diag_r + sr, 0)
+            else:
+                ms = (diag_r + sr) & mask
+                Mc = jnp.where((ms & zbit) != 0, ms, zbit)
             G_left = jnp.where(f0, zero, G[r])
             Ic = jnp.maximum(newG[r - 1], G_left) + gext
             Hcur = jnp.maximum(Hcur, Mc)
@@ -263,7 +294,8 @@ def _stream_kernel_mr(
             tr = (g + 1) * SLg - 1
             a = jnp.maximum(jnp.where(f0[tr, :], zero, acc[g]), Hcur[tr, :])
             acc[g] = a
-            tails.append(a[None, :].astype(jnp.int32))
+            emit = a if biased_width is None else a - zero
+            tails.append(emit[None, :].astype(jnp.int32))
         strip_rows.append(
             tails[0] if seg == 1 else jnp.concatenate(tails, axis=1)
         )
@@ -550,7 +582,7 @@ def sw_scores_stream_long_packed(
 
 def _strip_call(
     qT, streamT, ma, mi, go, ge, interpret, seg=1, state_dtype="int32",
-    tail_acc=True, rows=1, chunk=None,
+    tail_acc=True, rows=1, chunk=None, score_width=None,
 ):
     """qT: [128, S_phys] int8, streamT: [T, seg*S_phys] int8
     -> strip [T, seg*S_phys] int32.  rows = query rows folded per sublane
@@ -580,7 +612,7 @@ def _strip_call(
     if rows == 1:
         kernel = functools.partial(
             _stream_kernel, ma=ma, mi=mi, go=go, ge=ge, seg=seg, dt=dt,
-            tail_acc=tail_acc,
+            tail_acc=tail_acc, biased_width=score_width,
         )
         scratch = (
             [pltpu.VMEM((LANES, S), dt) for _ in range(4)]
@@ -591,7 +623,7 @@ def _strip_call(
         SL = LANES // rows
         kernel = functools.partial(
             _stream_kernel_mr, ma=ma, mi=mi, go=go, ge=ge, seg=seg, R=rows,
-            dt=dt,
+            dt=dt, biased_width=score_width,
         )
         scratch = [
             pltpu.VMEM((LANES, S), dt),  # G sub-row planes (stacked)
@@ -650,7 +682,28 @@ def _to_kernel_layout(q, stream, segments, rows=1):
     return _q_kernel_layout(q, segments, rows), stream.T
 
 
-def _validate(q, stream, segments, interpret, rows=1, state_dtype="int32"):
+def _validate(
+    q, stream, segments, interpret, rows=1, state_dtype="int32",
+    score_width=None, penalties=DEFAULT_PENALTIES,
+):
+    if score_width is not None:
+        if state_dtype != "int32":
+            # & and sign-bit tests are integer ops; f32 lanes can't wrap
+            raise ValueError(
+                "score_width (wrap-parity) requires state_dtype='int32', "
+                f"got {state_dtype!r}"
+            )
+        if not 2 <= score_width <= 30:
+            raise ValueError(
+                f"score_width={score_width} out of range (need 2..30)"
+            )
+        _, _, go, ge = penalties.astuple()
+        if (1 << (score_width - 1)) + (go + ge) + ge < 0:
+            # the I-chain no-wrap proof needs ZERO + open + extend >= -extend
+            raise ValueError(
+                f"score_width={score_width} too narrow for penalties "
+                f"(need 2^(W-1) >= |open+extend| + |extend|)"
+            )
     N, qcap = q.shape
     T = stream.shape[1]
     if LANES % segments or segments > 8:
@@ -690,7 +743,7 @@ def _validate(q, stream, segments, interpret, rows=1, state_dtype="int32"):
     jax.jit,
     static_argnames=(
         "penalties", "interpret", "segments", "state_dtype", "tail_acc",
-        "rows",
+        "rows", "score_width",
     ),
 )
 def sw_scores_stream_strip(
@@ -702,6 +755,7 @@ def sw_scores_stream_strip(
     state_dtype: str = "int32",
     tail_acc: bool = True,
     rows: int = 1,
+    score_width=None,
 ) -> jnp.ndarray:
     """Run the wavefront over packed streams; returns the raw H strip.
 
@@ -722,11 +776,15 @@ def sw_scores_stream_strip(
     gather scores.
     """
     ma, mi, go, ge = penalties.astuple()
-    _validate(q, stream, segments, interpret, rows, state_dtype)
+    _validate(
+        q, stream, segments, interpret, rows, state_dtype,
+        score_width, penalties,
+    )
     qk, sk = _to_kernel_layout(q, stream, segments, rows)
     out = _strip_call(
         qk, sk, ma, mi, go, ge, interpret, seg=segments,
         state_dtype=state_dtype, tail_acc=tail_acc, rows=rows,
+        score_width=score_width,
     )
     return out.T
 
@@ -751,7 +809,7 @@ def unpack_stream_wire(codes: jnp.ndarray, flags: jnp.ndarray) -> jnp.ndarray:
     jax.jit,
     static_argnames=(
         "penalties", "interpret", "segments", "state_dtype", "tail_acc",
-        "rows",
+        "rows", "score_width",
     ),
 )
 def sw_scores_stream_packed(
@@ -766,6 +824,7 @@ def sw_scores_stream_packed(
     state_dtype: str = "int32",
     tail_acc: bool = True,
     rows: int = 1,
+    score_width=None,
 ) -> jnp.ndarray:
     """sw_scores_stream on the 2-bit wire format: the stream crosses H2D at
     2.5 bits/char (pack_stream_wire) and expands on device."""
@@ -773,7 +832,7 @@ def sw_scores_stream_packed(
     return sw_scores_stream(
         q, stream, emit_stream, emit_step, penalties=penalties,
         interpret=interpret, segments=segments, state_dtype=state_dtype,
-        tail_acc=tail_acc, rows=rows,
+        tail_acc=tail_acc, rows=rows, score_width=score_width,
     )
 
 
@@ -781,7 +840,7 @@ def sw_scores_stream_packed(
     jax.jit,
     static_argnames=(
         "penalties", "interpret", "segments", "state_dtype", "tail_acc",
-        "rows",
+        "rows", "score_width",
     ),
 )
 def sw_scores_stream(
@@ -795,19 +854,28 @@ def sw_scores_stream(
     state_dtype: str = "int32",
     tail_acc: bool = True,
     rows: int = 1,
+    score_width=None,
 ) -> jnp.ndarray:
     """Wavefront scoring with on-device emission gather: only the per-read
     scores leave the chip (the strip stays in HBM) — the analog of the
     result-mux tap at `output_select` (ScoreBank/ScoringModule_v1.1.v:102-107).
 
     emit_step < 0 marks a zero-length read (score 0).  emit_step must have
-    been computed for the same `rows`/`segments` (drain differs)."""
+    been computed for the same `rows`/`segments` (drain differs).
+
+    score_width: emulate the RTL's W-bit biased-register arithmetic
+    including overflow wrap (requires state_dtype='int32'); scores match
+    oracle.sw_score_single_biased."""
     ma, mi, go, ge = penalties.astuple()
-    _validate(q, stream, segments, interpret, rows, state_dtype)
+    _validate(
+        q, stream, segments, interpret, rows, state_dtype,
+        score_width, penalties,
+    )
     qk, sk = _to_kernel_layout(q, stream, segments, rows)
     strip = _strip_call(
         qk, sk, ma, mi, go, ge, interpret, seg=segments,
         state_dtype=state_dtype, tail_acc=tail_acc, rows=rows,
+        score_width=score_width,
     )  # [T, N]
     live = emit_step >= 0
     safe_step = jnp.where(live, emit_step, 0)

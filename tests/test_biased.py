@@ -178,3 +178,102 @@ def test_biased_chained_long_query():
         )
     )
     np.testing.assert_array_equal(got, want)
+
+
+# -------------- wrap-parity on the flagship stream kernel (round 4) -------
+
+
+def _stream_biased_workload(rng, qlen=40):
+    query = rng.integers(0, 4, size=qlen).astype(np.int8)
+    targets = [
+        rng.integers(0, 4, size=int(rng.integers(5, 60))).astype(np.int8)
+        for _ in range(12)
+    ]
+    # high-identity reads force scores past small-W ceilings (wrap regime)
+    for k in (10, 20, 30, qlen):
+        targets.append(query[:k].copy())
+    return query, targets
+
+
+@pytest.mark.parametrize("rows", [1, 2, 4])
+def test_stream_kernel_biased_matches_oracle(rows):
+    from swtpu.bank.streams import pack_streams
+    from swtpu.oracle import sw_score_single_biased
+    from swtpu.ops.pallas_stream import sw_scores_stream
+
+    rng = np.random.default_rng(rows)
+    W = 7
+    query, targets = _stream_biased_workload(rng)
+    want = np.array(
+        [sw_score_single_biased(query, t, score_width=W) for t in targets],
+        np.int32,
+    )
+    b = pack_streams(query, targets, n_streams=4, rows=rows)
+    got = np.asarray(
+        sw_scores_stream(
+            b.q, b.stream, b.emit_stream, b.emit_step.astype(np.int32),
+            interpret=True, rows=rows, score_width=W,
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_stream_kernel_biased_segmented():
+    from swtpu.bank.streams import pack_streams
+    from swtpu.oracle import sw_score_single_biased
+    from swtpu.ops.pallas_stream import sw_scores_stream
+
+    rng = np.random.default_rng(9)
+    W = 7
+    query, targets = _stream_biased_workload(rng, qlen=30)
+    want = np.array(
+        [sw_score_single_biased(query, t, score_width=W) for t in targets],
+        np.int32,
+    )
+    b = pack_streams(query, targets, n_streams=8, segments=4, rows=1)
+    got = np.asarray(
+        sw_scores_stream(
+            b.q, b.stream, b.emit_stream, b.emit_step.astype(np.int32),
+            interpret=True, segments=4, rows=1, score_width=W,
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_stream_kernel_biased_rejects_f32():
+    from swtpu.bank.streams import pack_streams
+    from swtpu.ops.pallas_stream import sw_scores_stream
+
+    rng = np.random.default_rng(10)
+    query, targets = _stream_biased_workload(rng)
+    b = pack_streams(query, targets, n_streams=4)
+    with pytest.raises(ValueError, match="int32"):
+        sw_scores_stream(
+            b.q, b.stream, b.emit_stream, b.emit_step.astype(np.int32),
+            interpret=True, state_dtype="float32", score_width=7,
+        )
+
+
+def test_scorebank_stream_backend_score_width():
+    """ScoreBank(backend='stream', score_width=W) scores the whole database
+    through the biased wavefront, bit-exact vs the contract oracle —
+    --score-width no longer costs the stream kernel's speed."""
+    from swtpu.bank import ScoreBank
+    from swtpu.config import SWConfig
+    from swtpu.oracle import sw_score_single_biased
+
+    rng = np.random.default_rng(11)
+    W = 7
+    query, targets = _stream_biased_workload(rng)
+    want = np.array(
+        [sw_score_single_biased(query, t, score_width=W) for t in targets],
+        np.int32,
+    )
+    bank = ScoreBank(
+        SWConfig(score_width=W), backend="stream", interpret=True
+    )
+    res = bank.score_database(query, targets)
+    np.testing.assert_array_equal(res.scores, want)
+    # pairs ride the biased wavefront too
+    res2 = bank.score_pairs([query] * len(targets), targets)
+    np.testing.assert_array_equal(res2.scores, want)

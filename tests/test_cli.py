@@ -76,10 +76,13 @@ def test_score_width_wrong_backend_exits_cleanly(tmp_path):
     # raw ScoreBank ValueError traceback
     fa = tmp_path / "gen.fa"
     main(["generate", "-n", "4", "-L", "24", "-o", str(fa), "--seed", "7"])
-    for backend in ("scan", "stream"):
-        with pytest.raises(SystemExit, match="column kernel"):
-            main(["score", "-q", str(fa), "-l", str(fa),
-                  "--score-width", "12", "--backend", backend])
+    with pytest.raises(SystemExit, match="stream or column kernel"):
+        main(["score", "-q", str(fa), "-l", str(fa),
+              "--score-width", "12", "--backend", "scan"])
+    # the stream backend DOES support wrap-parity (round-4 biased lanes)
+    out = tmp_path / "biased_stream.txt"
+    assert main(["score", "-q", str(fa), "-l", str(fa), "-o", str(out),
+                 "--score-width", "12", "--backend", "stream"]) == 0
 
 
 def test_score_long_read_not_capped_on_stream_backend(tmp_path):
