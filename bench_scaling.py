@@ -164,6 +164,34 @@ def main_multihost():
         "metric": "process-scaling efficiency 1->4 (incl. startup)",
         "value": round(eff, 3), "unit": "ratio", "vs_baseline": round(eff / 0.8, 3),
     }))
+    # the PRODUCTION multi-host path (score_database_multihost -> flagship
+    # stream kernel): one replicated query, per-process database shards
+    from swtpu.ops.common import T_PAD
+
+    results_db = {}
+    for nprocs in (1, 2, 4):
+        B = per_proc * nprocs
+        query = rng.integers(0, 4, size=m).astype(np.int8)
+        lens = rng.integers(8, n + 1, size=B).astype(np.int32)
+        t = np.full((B, n), T_PAD, np.int8)
+        for i in range(B):
+            t[i, : lens[i]] = rng.integers(0, 4, size=lens[i]).astype(np.int8)
+        ids = np.arange(B, dtype=np.int32)
+        t0 = time.time()
+        run_multihost(
+            query, t, ids, nprocs=nprocs, topk=4, mode="database", lens=lens
+        )
+        dt = time.time() - t0
+        results_db[nprocs] = B / dt
+        print(json.dumps({
+            "metric": f"reads/s @ {nprocs} process(es) (database/stream path)",
+            "value": round(B / dt, 1), "unit": "reads/s", "vs_baseline": None,
+        }))
+    eff = results_db[4] / (4 * results_db[1])
+    print(json.dumps({
+        "metric": "database-path process-scaling efficiency 1->4 (incl. startup)",
+        "value": round(eff, 3), "unit": "ratio", "vs_baseline": round(eff / 0.8, 3),
+    }))
 
 
 if __name__ == "__main__":
