@@ -127,6 +127,13 @@ QUEUES = {
         (["experiments/tpu_step.py", "biased_chain"], 900),
         (["bench.py"], 560),
     ],
+    # round 4c: overlap re-measure with the dispatch worker thread (the
+    # r4b finding: same-thread chunking lost 15-25% because the tunnel
+    # client blocks the dispatching thread through most of the H2D)
+    "r4c": [
+        (["experiments/tpu_step.py", "e2e_overlap"], 1500),
+        (["bench.py"], 560),
+    ],
     "perf1": [
         # (argv, timeout_s)
         (["experiments/tpu_step.py", "probe"], 120),

@@ -542,8 +542,17 @@ class ScoreBank:
         (SM_Feeder2.v:104-110) over the pipelined tagged DMA (dma.v:472-491).
 
         Chunk stream lengths snap to a power-of-two ladder so equal-rung
-        chunks reuse ONE compiled executable (static shapes under jit)."""
+        chunks reuse ONE compiled executable (static shapes under jit).
+
+        Dispatch runs on ONE worker thread: measured on the tunnel-attached
+        dev chip, a jit call's H2D blocks the calling thread for most of the
+        transfer (JAX async dispatch is not async past the tunnel client),
+        so same-thread chunking LOST 15-25% (campaign r4b e2e_overlap:
+        0.35 -> 0.29 Mreads/s).  With the worker thread, numpy packing
+        (which releases the GIL) genuinely overlaps the in-flight
+        transfer."""
         import jax
+        from concurrent.futures import ThreadPoolExecutor
 
         from swtpu.bank.streams import (
             LANES, STREAM_PAD, pack_stream_wire, pack_streams,
@@ -555,60 +564,69 @@ class ScoreBank:
         C = self.config.stream_chunk_reads
         n_reads = len(tlens) if tlens is not None else len(targets)
         S = phys * segments
-        pending = []  # (lo, hi, device scores [C], cells, padded)
-        dq = None  # device-resident query registers (identical every chunk)
+        pending = []  # (lo, hi, future -> device scores [C], cells, padded)
         cells = padded = 0
-        for lo in range(0, n_reads, C):
-            hi = min(lo + C, n_reads)
-            if tlens is not None:
-                batch = pack_streams(
-                    query, tmat[lo:hi], n_streams=S, segments=segments,
-                    lens=tlens[lo:hi], rows=rows,
-                )
-            else:
-                batch = pack_streams(
-                    query, [targets[i] for i in range(lo, hi)], n_streams=S,
-                    segments=segments, rows=rows,
-                )
-            if self.verify_integrity:
-                from swtpu.utils.guards import check_stream_batch
+        kw = dict(
+            penalties=self.config.penalties, interpret=self._interpret,
+            segments=segments, rows=rows,
+            state_dtype=self._stream_dtype(),
+            score_width=self.config.score_width,
+        )
+        wire = self.config.wire_2bit and not self._interpret
+        dq_box = {}
 
-                check_stream_batch(batch)
-            # snap T to the power-of-two ladder (extra drain pads are
-            # score-inert; every emission precedes them)
-            T = batch.stream.shape[1]
-            Tq = STEP_CHUNK
-            while Tq < T:
-                Tq *= 2
-            stream = batch.stream
-            if Tq != T:
-                stream = np.full((S, Tq), STREAM_PAD, np.int8)
-                stream[:, :T] = batch.stream
-            # fixed-width emission maps (pad slots emit score 0, discarded)
-            es = np.zeros((C,), np.int32)
-            ep = np.full((C,), -1, np.int32)
-            es[: hi - lo] = batch.emit_stream
-            ep[: hi - lo] = batch.emit_step.astype(np.int32)
+        def dispatch(q, stream, es, ep):
+            dq = dq_box.get("q")
             if dq is None:
-                dq = jax.device_put(batch.q)
-            kw = dict(
-                penalties=self.config.penalties, interpret=self._interpret,
-                segments=segments, rows=rows,
-                state_dtype=self._stream_dtype(),
-                score_width=self.config.score_width,
-            )
-            if self.config.wire_2bit and not self._interpret:
+                dq = dq_box["q"] = jax.device_put(q)
+            if wire:
                 codes, flags = pack_stream_wire(stream)
-                dev = sw_scores_stream_packed(dq, codes, flags, es, ep, **kw)
-            else:
-                dev = sw_scores_stream(dq, stream, es, ep, **kw)
-            chunk_padded = stream.shape[0] * Tq * (LANES // segments)
-            pending.append((lo, hi, dev, batch.cells, chunk_padded))
-        scores = np.zeros((n_reads,), dtype=np.int32)
-        for lo, hi, dev, c, p in pending:
-            scores[lo:hi] = np.asarray(dev)[: hi - lo]
-            cells += c
-            padded += p
+                return sw_scores_stream_packed(dq, codes, flags, es, ep, **kw)
+            return sw_scores_stream(dq, stream, es, ep, **kw)
+
+        ex = ThreadPoolExecutor(max_workers=1)
+        try:
+            for lo in range(0, n_reads, C):
+                hi = min(lo + C, n_reads)
+                if tlens is not None:
+                    batch = pack_streams(
+                        query, tmat[lo:hi], n_streams=S, segments=segments,
+                        lens=tlens[lo:hi], rows=rows,
+                    )
+                else:
+                    batch = pack_streams(
+                        query, [targets[i] for i in range(lo, hi)],
+                        n_streams=S, segments=segments, rows=rows,
+                    )
+                if self.verify_integrity:
+                    from swtpu.utils.guards import check_stream_batch
+
+                    check_stream_batch(batch)
+                # snap T to the power-of-two ladder (extra drain pads are
+                # score-inert; every emission precedes them)
+                T = batch.stream.shape[1]
+                Tq = STEP_CHUNK
+                while Tq < T:
+                    Tq *= 2
+                stream = batch.stream
+                if Tq != T:
+                    stream = np.full((S, Tq), STREAM_PAD, np.int8)
+                    stream[:, :T] = batch.stream
+                # fixed-width emission maps (pad slots emit 0, discarded)
+                es = np.zeros((C,), np.int32)
+                ep = np.full((C,), -1, np.int32)
+                es[: hi - lo] = batch.emit_stream
+                ep[: hi - lo] = batch.emit_step.astype(np.int32)
+                fut = ex.submit(dispatch, batch.q, stream, es, ep)
+                chunk_padded = stream.shape[0] * Tq * (LANES // segments)
+                pending.append((lo, hi, fut, batch.cells, chunk_padded))
+            scores = np.zeros((n_reads,), dtype=np.int32)
+            for lo, hi, fut, c, p in pending:
+                scores[lo:hi] = np.asarray(fut.result())[: hi - lo]
+                cells += c
+                padded += p
+        finally:
+            ex.shutdown(wait=True)
         if self.verify_integrity:
             from swtpu.utils.guards import check_scores
 
