@@ -132,6 +132,9 @@ QUEUES = {
     # client blocks the dispatching thread through most of the H2D)
     "r4c": [
         (["experiments/tpu_step.py", "e2e_overlap"], 1500),
+        (["experiments/tpu_step.py", "shmosaic_k0_w1"], 1500),
+        (["experiments/tpu_step.py", "shmosaic_k0_w33"], 1500),
+        (["experiments/tpu_step.py", "shmosaic_k0"], 900),
         (["bench.py"], 560),
     ],
     "perf1": [

@@ -402,7 +402,7 @@ def _parity_biased(rows=16, S=128, W=7):
 
 
 def _shmosaic_chain(ks=(1, 5), rows=16, S=512, B=65536, state_dtype="float32",
-                    check_top=True):
+                    check_top=True, k_top=3):
     """VERDICT r3 #1: the flagship config (rows=16, f32, S=512) as real
     Mosaic under shard_map on mesh(1) — scan-chain GCUPS + 64-read parity.
     Calls the literal production function (make_sharded_stream_scorer with
@@ -430,7 +430,7 @@ def _shmosaic_chain(ks=(1, 5), rows=16, S=512, B=65536, state_dtype="float32",
         log(f"oracle top-3 in {time.time()-t0:.0f}s: {want_top3}")
     mesh = make_mesh(1)
     scorer = make_sharded_stream_scorer(
-        mesh, interpret=False, rows=rows, state_dtype=state_dtype, k=3,
+        mesh, interpret=False, rows=rows, state_dtype=state_dtype, k=k_top,
     )
     dq = jax.device_put(batch.q)
     dstream = jax.device_put(batch.stream)
@@ -443,7 +443,11 @@ def _shmosaic_chain(ks=(1, 5), rows=16, S=512, B=65536, state_dtype="float32",
     def chain(q, stream, es, ep, ids, k):
         def body(carry, _):
             q_c, acc = carry
-            s, ts, tids = scorer(q_c, stream, es, ep, ids)
+            if k_top:
+                s, ts, tids = scorer(q_c, stream, es, ep, ids)
+            else:
+                s = scorer(q_c, stream, es, ep, ids)
+                ts = s[0, :3]
             v = s[0, 0]
             q_n = jnp.where(v < -(2 ** 30), q_c + jnp.int8(1), q_c)
             return (q_n, acc + v), (s[0, :64], ts)
@@ -759,6 +763,10 @@ STEPS = {
     "shmosaic_big_w1": lambda: _shmosaic_chain(ks=(1,), B=262144, check_top=False),
     "shmosaic_big_w33": lambda: _shmosaic_chain(ks=(33,), B=262144, check_top=False),
     "shmosaic_big": lambda: _shmosaic_chain(ks=(1, 33), B=262144, check_top=False),
+    # k_top=0 isolates the collective-top-K tail from the kernel rate
+    "shmosaic_k0_w1": lambda: _shmosaic_chain(ks=(1,), B=262144, check_top=False, k_top=0),
+    "shmosaic_k0_w33": lambda: _shmosaic_chain(ks=(33,), B=262144, check_top=False, k_top=0),
+    "shmosaic_k0": lambda: _shmosaic_chain(ks=(1, 33), B=262144, check_top=False, k_top=0),
     # round-4: SCORE_WIDTH wrap-parity on the flagship stream kernel
     "biased_parity_r16": lambda: _parity_biased(rows=16),
     "biased_parity_r1": lambda: _parity_biased(rows=1),
