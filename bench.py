@@ -57,6 +57,9 @@ ROWS = int(os.environ.get("SWTPU_BENCH_ROWS", "16"))
 KS = tuple(
     int(x) for x in os.environ.get("SWTPU_BENCH_KS", "").split(",") if x
 )
+# nonzero: measure the SCORE_WIDTH wrap-parity kernel instead (int32
+# biased lanes; parity checks against the biased contract oracle)
+SCORE_WIDTH = int(os.environ.get("SWTPU_BENCH_SCORE_WIDTH", "0")) or None
 
 
 # ---------------------------------------------------------------- stages --
@@ -110,8 +113,16 @@ def _measure_scan_chain(B, ks, reps, state_dtype=None):
     de_st = jax.device_put(b.emit_stream[:64].astype(np.int32))
     de_sp = jax.device_put(b.emit_step[:64].astype(np.int32))
     ma, mi, go, ge = DEFAULT_PENALTIES.astuple()
-    want = score_many_vs_one(q, t[:64])
-    dtype = state_dtype or STATE_DTYPE
+    if SCORE_WIDTH:
+        from swtpu.oracle import sw_score_single_biased
+
+        want = np.array(
+            [sw_score_single_biased(q, tt, score_width=SCORE_WIDTH)
+             for tt in t[:64]], np.int32,
+        )
+    else:
+        want = score_many_vs_one(q, t[:64])
+    dtype = "int32" if SCORE_WIDTH else (state_dtype or STATE_DTYPE)
 
     @functools.partial(jax.jit, static_argnames="k")
     def chain(qk, sk, es, ep, k):
@@ -119,7 +130,7 @@ def _measure_scan_chain(B, ks, reps, state_dtype=None):
             qk_c, acc = carry
             strip = _strip_call(
                 qk_c, sk, ma, mi, go, ge, False,
-                state_dtype=dtype, rows=ROWS,
+                state_dtype=dtype, rows=ROWS, score_width=SCORE_WIDTH,
             )
             v = strip[-1, 0]  # data-dependent scalar
             # force sequential dependence without changing the query values

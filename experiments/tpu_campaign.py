@@ -135,6 +135,9 @@ QUEUES = {
         (["experiments/tpu_step.py", "shmosaic_k0_w1"], 1500),
         (["experiments/tpu_step.py", "shmosaic_k0_w33"], 1500),
         (["experiments/tpu_step.py", "shmosaic_k0"], 900),
+        (["experiments/tpu_step.py", "biased_bench_w1"], 1500),
+        (["experiments/tpu_step.py", "biased_bench_w33"], 1500),
+        (["experiments/tpu_step.py", "biased_bench_chain"], 900),
         (["bench.py"], 560),
     ],
     "perf1": [

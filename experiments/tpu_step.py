@@ -774,6 +774,14 @@ STEPS = {
     "biased_w5": lambda: _chain_stream(512, ks=(5,), rows=16, score_width=12),
     # _chain_stream unrolls k in the jit body: measure at the warmed ks only
     "biased_chain": lambda: _chain_stream(512, ks=(1, 5), rows=16, score_width=12),
+    # robust k=33 slope for the biased config via bench's lax.scan chain
+    # (the body compiles once whatever k is; parity vs the biased oracle)
+    "biased_bench_w1": lambda: _bench_stage(
+        "stream_chain", SWTPU_BENCH_KS="1", SWTPU_BENCH_SCORE_WIDTH="12"),
+    "biased_bench_w33": lambda: _bench_stage(
+        "stream_chain", SWTPU_BENCH_KS="33", SWTPU_BENCH_SCORE_WIDTH="12"),
+    "biased_bench_chain": lambda: _bench_stage(
+        "stream_chain", SWTPU_BENCH_SCORE_WIDTH="12"),
     "chain_col": lambda: _chain_col("int32"),
     "chain_col_i16": lambda: _chain_col("int16"),
     "chain_col_f32": lambda: _chain_col("float32"),
