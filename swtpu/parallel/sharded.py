@@ -154,13 +154,42 @@ def _merge_topk(s, ids, k: int, axis: str):
     live = ids >= 0
     masked = jnp.where(live, s, -(2 ** 30))
     kk = min(k, masked.shape[0])
-    # per-shard cut: lax.top_k is stable by position and shard rows are
-    # id-ascending (round-robin deal), so equal scores keep lowest ids
-    loc_s, loc_i = jax.lax.top_k(masked, kk)
-    loc_ids = ids[loc_i]
+    loc_s, loc_ids = _local_topk(masked, ids, kk)
     all_s = jax.lax.all_gather(loc_s, axis, tiled=True)
     all_ids = jax.lax.all_gather(loc_ids, axis, tiled=True)
     # final cut: explicit (score desc, id asc) lexicographic order — a
     # plain top_k here would break ties by shard position instead of id
     order = jnp.lexsort((all_ids, -all_s))[:k]
     return all_s[order], all_ids[order]
+
+
+def _local_topk(masked, ids, kk: int):
+    """Per-shard top-kk, lowest ids first among equal scores.
+
+    For large shards a flat `lax.top_k` lowers to an O(R log R)-ish sort —
+    measured ~5 ms/call at R=262Ki (BENCH_NOTES round-4).  Two-level form:
+    row-wise top-kk on a [R/128, 128] view (one O(R) pass), then top-kk of
+    the R/128*kk candidates.  Exact, incl. tie order: an element dropped by
+    its row's cut has >= kk elements in that row scoring >= it with lower
+    ids (lax.top_k is stable by position and rows are index-contiguous),
+    so it cannot belong to the true top-kk; candidate positions among
+    equal scores remain (row, in-row-index)-ascending = id-ascending."""
+    R = masked.shape[0]
+    cols = 128
+    if R <= 4 * cols or kk > cols:
+        loc_s, loc_i = jax.lax.top_k(masked, kk)
+        return loc_s, ids[loc_i]
+    pad = (-R) % cols
+    if pad:
+        masked = jnp.concatenate(
+            [masked, jnp.full((pad,), -(2 ** 30), masked.dtype)]
+        )
+    grid = masked.reshape(-1, cols)
+    rs, ri = jax.lax.top_k(grid, kk)  # [R/cols, kk]
+    base = (jnp.arange(grid.shape[0], dtype=jnp.int32) * cols)[:, None]
+    cand_idx = (base + ri).reshape(-1)
+    cand_s = rs.reshape(-1)
+    fs, fi = jax.lax.top_k(cand_s, kk)
+    src = cand_idx[fi]
+    live_src = src < R  # padding tail can only surface when kk > live rows
+    return fs, jnp.where(live_src, ids[jnp.minimum(src, R - 1)], -1)

@@ -210,3 +210,34 @@ def test_sharded_stream_topk_tie_consistency(mesh):
     host = ScoreResult(got_scores, 0, 0, 1.0).top_k(k)
     got = list(zip(np.asarray(ts).tolist(), np.asarray(tids).tolist()))
     assert got == host
+
+
+def test_local_topk_two_level_exact():
+    """The two-level per-shard top-k (large-R path) is exact, including
+    (score desc, id asc) tie preference, against a numpy reference."""
+    import jax.numpy as jnp
+
+    from swtpu.parallel.sharded import _local_topk
+
+    rng = np.random.default_rng(77)
+    for R in (1280, 1290, 4096):  # incl. a non-multiple of 128
+        # few distinct scores -> heavy ties straddling rows
+        s = rng.integers(0, 7, size=R).astype(np.int32)
+        ids = np.arange(R, dtype=np.int32)
+        for kk in (1, 3, 10):
+            fs, fids = _local_topk(jnp.asarray(s), jnp.asarray(ids), kk)
+            order = np.lexsort((ids, -s))[:kk]
+            np.testing.assert_array_equal(np.asarray(fs), s[order])
+            np.testing.assert_array_equal(np.asarray(fids), ids[order])
+    # and R > 512 through the full collective merge
+    from swtpu.parallel import make_mesh, make_sharded_topk
+
+    mesh = make_mesh(8)
+    B, m, n = 8 * 1280, 8, 8
+    q = np.tile(rng.integers(0, 4, size=(1, m)).astype(np.int8), (B, 1))
+    t = np.tile(rng.integers(0, 4, size=(1, n)).astype(np.int8), (B, 1))
+    ids = np.arange(B, dtype=np.int32)
+    topk = make_sharded_topk(mesh, k=6)
+    top_s, top_ids, scores = topk(q, t, ids)
+    # every pair identical -> all scores tie; winners must be ids 0..5
+    np.testing.assert_array_equal(np.asarray(top_ids), np.arange(6))
