@@ -140,6 +140,15 @@ QUEUES = {
         (["experiments/tpu_step.py", "biased_bench_chain"], 900),
         (["bench.py"], 560),
     ],
+    # round 4d: compile the NEW two-level top-K merge on hardware
+    # (shmosaic_w1 re-runs with the updated _merge_topk HLO), biased
+    # segmented parity, fast-window overlap retest, bench rehearsal
+    "r4d": [
+        (["experiments/tpu_step.py", "shmosaic_w1"], 1500),
+        (["experiments/tpu_step.py", "biased_parity_r4_seg4"], 1500),
+        (["experiments/tpu_step.py", "e2e_overlap"], 1500),
+        (["bench.py"], 560),
+    ],
     "perf1": [
         # (argv, timeout_s)
         (["experiments/tpu_step.py", "probe"], 120),

@@ -401,6 +401,41 @@ def _parity_biased(rows=16, S=128, W=7):
         log("BIASED PARITY OK")
 
 
+def _parity_biased_seg(rows=4, segments=4, S=128, W=7):
+    """Biased wrap-parity on the segmented short-query config (the 32nt
+    workload class), compiled Mosaic."""
+    from swtpu.bank.streams import pack_streams
+    from swtpu.oracle import sw_score_single_biased
+    from swtpu.ops.pallas_stream import sw_scores_stream
+
+    rng = np.random.default_rng(60)
+    query = rng.integers(0, 4, size=30).astype(np.int8)
+    targets = [
+        rng.integers(0, 4, size=int(rng.integers(5, 60))).astype(np.int8)
+        for _ in range(30)
+    ]
+    for k in (15, 22, 30):
+        targets.append(np.tile(query[:k], 3).copy())  # wrap regime
+    want = np.array(
+        [sw_score_single_biased(query, t, score_width=W) for t in targets],
+        np.int32,
+    )
+    b = pack_streams(
+        query, targets, n_streams=S * segments, segments=segments, rows=rows
+    )
+    log(f"biased seg={segments} rows={rows} W={W} compiling/running...")
+    got = np.asarray(
+        sw_scores_stream(
+            b.q, b.stream, b.emit_stream, b.emit_step.astype(np.int32),
+            segments=segments, rows=rows, state_dtype="int32", score_width=W,
+        )
+    )
+    bad = np.nonzero(got != want)[0]
+    log(f"biased seg parity: {len(bad)} mismatches / {len(targets)}")
+    if len(bad) == 0:
+        log("BIASED SEG PARITY OK")
+
+
 def _shmosaic_chain(ks=(1, 5), rows=16, S=512, B=65536, state_dtype="float32",
                     check_top=True, k_top=3):
     """VERDICT r3 #1: the flagship config (rows=16, f32, S=512) as real
@@ -770,6 +805,7 @@ STEPS = {
     # round-4: SCORE_WIDTH wrap-parity on the flagship stream kernel
     "biased_parity_r16": lambda: _parity_biased(rows=16),
     "biased_parity_r1": lambda: _parity_biased(rows=1),
+    "biased_parity_r4_seg4": lambda: _parity_biased_seg(),
     "biased_w1": lambda: _chain_stream(512, ks=(1,), rows=16, score_width=12),
     "biased_w5": lambda: _chain_stream(512, ks=(5,), rows=16, score_width=12),
     # _chain_stream unrolls k in the jit body: measure at the warmed ks only
