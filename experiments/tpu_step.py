@@ -329,6 +329,41 @@ def _e2e_overlap(chunks=(0, 1 << 17), B=1 << 18, n=128, reps=3):
         )
 
 
+def _loaded_db(B=1 << 18, n=128, reps=4):
+    """Round-4: device-resident database serving.  Load once (one 2-bit
+    wire crossing), then per-query e2e = query H2D (~64 KB) + kernel +
+    score D2H — the many-queries pattern at kernel speed."""
+    from swtpu.bank.scorebank import ScoreBank
+    from swtpu.oracle import score_many_vs_one
+
+    rng = np.random.default_rng(0)
+    th = rng.integers(0, 4, size=(B, n)).astype(np.int8)
+    lens = np.full(B, n, np.int32)
+    bank = ScoreBank(backend="stream", interpret=False)
+    t0 = time.time()
+    db = bank.load_database((th, lens), max_query_len=2048)
+    log(f"load_database: {B} reads in {time.time()-t0:.1f}s "
+        f"(stream {np.shape(db.stream)})")
+    for qlen in (128, 1024):
+        query = rng.integers(0, 4, size=qlen).astype(np.int8)
+        want64 = score_many_vs_one(query, list(th[:64]))
+        t0 = time.time()
+        r = bank.score_loaded(query, db)  # compile + warm
+        log(f"score_loaded qlen={qlen}: compile+warm {time.time()-t0:.0f}s")
+        if not np.array_equal(r.scores[:64], want64):
+            log(f"qlen={qlen}: PARITY MISMATCH")
+            return
+        best = 1e9
+        for _ in range(reps):
+            r = bank.score_loaded(query, db)
+            best = min(best, r.elapsed_s)
+        log(
+            f"score_loaded qlen={qlen}: best {best*1e3:.0f} ms -> "
+            f"{B/best/1e6:.2f} Mreads/s per query, "
+            f"{r.cells/best/1e9:.1f} GCUPS e2e"
+        )
+
+
 def _shmosaic_smoke():
     """VERDICT r3 #1 (part 1): the production sharded stream scorer
     (make_sharded_stream_scorer) compiled as REAL Mosaic (interpret=False)
@@ -793,6 +828,7 @@ STEPS = {
     "e2e_overlap_w0": lambda: _e2e_overlap(chunks=(0,), reps=1),
     "e2e_overlap_w17": lambda: _e2e_overlap(chunks=(0, 1 << 17), reps=1),
     "e2e_overlap": lambda: _e2e_overlap(chunks=(0, 1 << 17, 1 << 16)),
+    "loaded_db": _loaded_db,
     # round-4: sharded chain at the bench's big batch (robust slope; the
     # full-database oracle top-3 is skipped at this size)
     "shmosaic_big_w1": lambda: _shmosaic_chain(ks=(1,), B=262144, check_top=False),

@@ -62,6 +62,29 @@ class ScoreResult:
         return [(int(self.scores[i]), int(i)) for i in idx]
 
 
+@dataclasses.dataclass
+class LoadedDatabase:
+    """A packed database RESIDENT ON DEVICE across queries.
+
+    The reference re-streams its library from host DRAM through the
+    feeders for every query (SM_Feeder2.v); a TPU has 16 GB of HBM, so the
+    TPU-idiomatic inversion is to keep the packed streams on-chip and ship
+    only the query register (~KB) per job: the many-queries-vs-one-database
+    serving pattern at kernel speed instead of host-link speed.  Build
+    with :meth:`ScoreBank.load_database`, score with
+    :meth:`ScoreBank.score_loaded`.
+    """
+
+    stream: object  # [S, T] int8 device array (expanded on device)
+    emit_stream_dev: object  # [n_reads] int32 device
+    emit_step_dev: object  # [n_reads] int32 device
+    t_lens: np.ndarray  # per-read true lengths (cells + guard bounds)
+    total_chars: int
+    n_reads: int
+    rows: int
+    k_max: int  # query-tile capacity the stream was drain-padded for
+
+
 class ScoreBank:
     """Batched many-vs-one scorer with pluggable kernel backend.
 
@@ -311,6 +334,136 @@ class ScoreBank:
                         f"t_width={t_plan.bucket_lens[tb]}",
                     )
                 )
+        return ScoreResult(scores, cells, padded, time.perf_counter() - t0)
+
+    def load_database(self, targets, max_query_len: int = 128) -> LoadedDatabase:
+        """Pack `targets` once and leave the streams resident on device.
+
+        The stream crosses the host link ONCE (2-bit wire + on-device
+        expansion when wire_2bit is set); every subsequent
+        :meth:`score_loaded` ships only the ~16 KB query register and reads
+        back n_reads int32 scores.  `max_query_len` sets the query-tile
+        capacity (the stream gains the chained kernel's extra drain steps
+        for queries past 128 bases — pack once, serve any length up to it).
+
+        Requires the stream backend."""
+        import jax
+
+        from swtpu.bank.streams import (
+            LANES, STREAM_PAD, pack_stream_wire, pack_streams,
+        )
+        from swtpu.ops.pallas_stream import STEP_CHUNK
+
+        if self.backend != "stream":
+            raise ValueError(
+                f"load_database requires the stream backend (got "
+                f"{self.backend!r})"
+            )
+        rows = self.config.stream_rows
+        if rows == 0:
+            rows = 16 if not self._interpret else 1
+        phys = self.config.stream_phys if not self._interpret else 8
+        tmat, tlens = _dense_form(targets)
+        # probe query of length 1: stream layout and emission coordinates
+        # are query-independent (drain = 128//rows - 1)
+        probe = np.zeros((1,), np.int8)
+        if tlens is not None:
+            batch = pack_streams(
+                probe, tmat, n_streams=phys, lens=tlens, rows=rows
+            )
+            t_lens = np.asarray(tlens, np.int64)
+        else:
+            batch = pack_streams(probe, targets, n_streams=phys, rows=rows)
+            t_lens = np.fromiter((len(t) for t in targets), np.int64)
+        if self.verify_integrity:
+            from swtpu.utils.guards import check_stream_batch
+
+            check_stream_batch(batch)
+        k_max = max(1, -(-int(max_query_len) // LANES))
+        SL = LANES // rows
+        extra = (SL - 1) * (k_max - 1)
+        T = -(-(batch.stream.shape[1] + extra) // STEP_CHUNK) * STEP_CHUNK
+        stream = batch.stream
+        if T != stream.shape[1]:
+            wide = np.full((phys, T), STREAM_PAD, np.int8)
+            wide[:, : stream.shape[1]] = stream
+            stream = wide
+        if self.config.wire_2bit and not self._interpret:
+            # one 2.5-bit/char crossing, expanded to the resident int8
+            # stream on device
+            from swtpu.ops.pallas_stream import unpack_stream_wire
+
+            codes, flags = pack_stream_wire(stream)
+            dev_stream = jax.jit(unpack_stream_wire)(
+                jax.device_put(codes), jax.device_put(flags)
+            )
+        else:
+            dev_stream = jax.device_put(stream)
+        return LoadedDatabase(
+            stream=dev_stream,
+            emit_stream_dev=jax.device_put(batch.emit_stream),
+            emit_step_dev=jax.device_put(batch.emit_step.astype(np.int32)),
+            t_lens=t_lens,
+            total_chars=int(t_lens.sum()),
+            n_reads=len(t_lens),
+            rows=rows,
+            k_max=k_max,
+        )
+
+    def score_loaded(self, query: np.ndarray, db: LoadedDatabase) -> ScoreResult:
+        """Score `query` against a device-resident database: only the query
+        register crosses H2D; the packed streams never leave HBM."""
+        from swtpu.bank.streams import LANES
+        from swtpu.ops.common import Q_PAD
+        from swtpu.ops.pallas_stream import (
+            sw_scores_stream, sw_scores_stream_long,
+        )
+
+        t0 = time.perf_counter()
+        query = np.asarray(query, np.int8)
+        S = np.shape(db.stream)[0]
+        kw = dict(
+            penalties=self.config.penalties, interpret=self._interpret,
+            rows=db.rows, state_dtype=self._stream_dtype(),
+        )
+        if len(query) <= LANES:
+            q = np.full((S, LANES), Q_PAD, np.int8)
+            q[:, : len(query)] = query[None, :]
+            scores = np.asarray(
+                sw_scores_stream(
+                    q, db.stream, db.emit_stream_dev, db.emit_step_dev,
+                    segments=1, score_width=self.config.score_width, **kw,
+                )
+            )
+        else:
+            if self.config.score_width is not None:
+                raise ValueError(
+                    "score_width supports loaded queries to 128 bases "
+                    "(chained biased tiles route the column path)"
+                )
+            K = -(-len(query) // LANES)
+            if K > db.k_max:
+                raise ValueError(
+                    f"query of {len(query)} bases needs {K} tiles; database "
+                    f"was loaded with max_query_len for {db.k_max} — reload "
+                    "with a larger max_query_len"
+                )
+            q = np.full((S, K * LANES), Q_PAD, np.int8)
+            q[:, : len(query)] = query[None, :]
+            scores = np.asarray(
+                sw_scores_stream_long(
+                    q, db.stream, db.emit_stream_dev, db.emit_step_dev, **kw
+                )
+            )
+        if self.verify_integrity:
+            from swtpu.utils.guards import check_scores
+
+            check_scores(
+                scores, np.full(db.n_reads, len(query)), db.t_lens,
+                self.config.penalties.match,
+            )
+        cells = int(len(query)) * db.total_chars
+        padded = int(np.shape(db.stream)[0]) * int(np.shape(db.stream)[1]) * LANES
         return ScoreResult(scores, cells, padded, time.perf_counter() - t0)
 
     def _score_pairs_stream_mixed(

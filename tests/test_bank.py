@@ -256,3 +256,41 @@ def test_stream_chunked_pipeline_parity():
         lens[i] = len(t)
     res2 = bank.score_database(query, (mat, lens))
     np.testing.assert_array_equal(res2.scores, want)
+
+
+def test_loaded_database_multi_query():
+    """Round-4: device-resident database — pack once, serve many queries
+    (only the query register crosses the link per job), incl. chained
+    long queries up to the load-time capacity."""
+    rng = np.random.default_rng(21)
+    targets = [
+        rng.integers(0, 4, size=rng.integers(2, 70)).astype(np.int8)
+        for _ in range(23)
+    ]
+    targets[4] = np.zeros((0,), np.int8)  # zero-length read scores 0
+    bank = ScoreBank(backend="stream", interpret=True)
+    db = bank.load_database(targets, max_query_len=300)
+    for qlen in (16, 100, 290):
+        query = rng.integers(0, 4, size=qlen).astype(np.int8)
+        want = score_many_vs_one(query, targets)
+        res = bank.score_loaded(query, db)
+        np.testing.assert_array_equal(res.scores, want)
+        assert res.cells == qlen * sum(len(t) for t in targets)
+    # capacity is enforced, not silently wrong
+    with pytest.raises(ValueError, match="max_query_len"):
+        bank.score_loaded(rng.integers(0, 4, size=400).astype(np.int8), db)
+    # wrong backend is rejected up front
+    with pytest.raises(ValueError, match="stream backend"):
+        ScoreBank(backend="scan").load_database(targets)
+
+
+def test_loaded_database_dense_form_and_guards():
+    rng = np.random.default_rng(22)
+    mat = rng.integers(0, 4, size=(17, 50)).astype(np.int8)
+    lens = rng.integers(3, 51, size=17).astype(np.int32)
+    targets = [mat[i, : lens[i]] for i in range(17)]
+    bank = ScoreBank(backend="stream", interpret=True, verify_integrity=True)
+    db = bank.load_database((mat, lens))
+    query = rng.integers(0, 4, size=40).astype(np.int8)
+    res = bank.score_loaded(query, db)
+    np.testing.assert_array_equal(res.scores, score_many_vs_one(query, targets))
