@@ -146,6 +146,7 @@ QUEUES = {
     "r4d": [
         (["experiments/tpu_step.py", "shmosaic_w1"], 1500),
         (["experiments/tpu_step.py", "biased_parity_r4_seg4"], 1500),
+        (["experiments/tpu_step.py", "loaded_db"], 1500),
         (["experiments/tpu_step.py", "e2e_overlap"], 1500),
         (["bench.py"], 560),
     ],
