@@ -35,6 +35,13 @@ def _load(query_path: str, library_path: str):
     qidx = [i for i, nm in enumerate(qdb.names) if nm.startswith("query")] or [0]
     query = qdb.read(qidx[0]).copy()
     lib = load_encoded(library_path)
+    return query, *_split_lib(lib)
+
+
+def _split_lib(lib):
+    import numpy as np
+
+    from swtpu.io.loader import EncodedDB
     rows = [i for i, nm in enumerate(lib.names) if not nm.startswith("query")]
     if len(rows) == len(lib.names):
         db = lib  # no >query record to exclude
@@ -43,7 +50,15 @@ def _load(query_path: str, library_path: str):
         db = EncodedDB(
             [lib.names[i] for i in rows], lib.mat[sel], lib.lens[sel]
         )
-    return query, db.names, db
+    return db.names, db
+
+
+def _load_all_queries(query_path: str):
+    """Every record of the query FASTA as (name, codes) pairs."""
+    from swtpu.io.loader import load_encoded
+
+    qdb = load_encoded(query_path)
+    return [(qdb.names[i], qdb.read(i).copy()) for i in range(len(qdb.names))]
 
 
 def _emit(out, names, scores, t_start):
@@ -77,6 +92,8 @@ def cmd_score(args) -> int:
         score_width=args.score_width or None,
     )
     bank = ScoreBank(cfg, backend=args.backend)
+    if getattr(args, "all_queries", False):
+        return _score_all_queries(args, bank, names, targets)
     if bank.backend != "stream" and max_len > buckets[-1]:
         # only the bucketed backends have a static capacity ladder; the
         # stream backend's target axis is unbounded by design
@@ -148,6 +165,44 @@ def cmd_score(args) -> int:
     if args.topk:
         for s, i in res.top_k(args.topk):
             print(f"# top: >{names[i]} score: {s}", file=sys.stderr)
+    return 0
+
+
+def _score_all_queries(args, bank, names, targets) -> int:
+    """Score EVERY query record against the library.  On the stream
+    backend the database loads onto the device once (ScoreBank
+    .load_database) and each query ships only its register — the
+    many-queries serving pattern; bucketed backends loop score_database."""
+    pairs = _load_all_queries(args.query)
+    t0 = time.perf_counter()
+    if bank.backend == "stream":
+        db = bank.load_database(
+            targets, max_query_len=max(len(q) for _, q in pairs)
+        )
+        run = lambda q: bank.score_loaded(q, db)
+    else:
+        run = lambda q: bank.score_database(q, targets)
+    out = open(args.output, "w") if args.output else sys.stdout
+    tot_cells = 0
+    tot_s = 0.0
+    try:
+        for name, q in pairs:
+            res = run(q)
+            out.write(f"# query: {name}\n")
+            _emit(out, names, res.scores, t0)
+            tot_cells += res.cells
+            tot_s += res.elapsed_s
+            if args.topk:
+                for s, i in res.top_k(args.topk):
+                    print(f"# top[{name}]: >{names[i]} score: {s}", file=sys.stderr)
+    finally:
+        if args.output:
+            out.close()
+    print(
+        f"# {len(pairs)} queries x {len(targets)} reads, {tot_cells} cells "
+        f"in {tot_s*1e3:.1f} ms -> {tot_cells/max(tot_s,1e-9)/1e9:.2f} GCUPS",
+        file=sys.stderr,
+    )
     return 0
 
 
@@ -290,6 +345,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         "--score-width", dest="score_width", type=int, default=0,
         help="emulate the RTL's SCORE_WIDTH-bit biased registers, including "
         "overflow wrap (0 = exact int32 scoring; the hardware default is 12)",
+    )
+    ps.add_argument(
+        "--all-queries", dest="all_queries", action="store_true",
+        help="score EVERY query-file record against the library (stream "
+        "backend: the database loads onto the device once and each query "
+        "ships only its register)",
     )
     ps.add_argument(
         "--buckets", default="32,128,512,2048,8192",

@@ -102,3 +102,46 @@ def test_score_long_read_not_capped_on_stream_backend(tmp_path):
     with pytest.raises(SystemExit, match="exceeds bucket capacity"):
         main(["score", "-q", str(fa), "-l", str(fa),
               "--backend", "scan", "--buckets", "32,128"])
+
+
+def test_score_all_queries_loaded_db(tmp_path):
+    """--all-queries scores every query record via the device-resident
+    database (stream backend) and matches per-query oracle runs."""
+    import numpy as np
+
+    from swtpu.io import FastaRecord, write_fasta
+    from swtpu.io.encode import CODE_BASES
+
+    rng = np.random.default_rng(31)
+    lib = tmp_path / "lib.fa"
+    main(["generate", "-n", "7", "-L", "50", "-o", str(lib), "--seed", "8"])
+    qfa = tmp_path / "queries.fa"
+    recs = []
+    for j, L in enumerate((20, 40, 60)):
+        seq = "".join(CODE_BASES[int(c)] for c in rng.integers(0, 4, size=L))
+        recs.append(FastaRecord(f"q{j}", seq))
+    write_fasta(qfa, recs)
+    out = tmp_path / "all.txt"
+    assert main([
+        "score", "-q", str(qfa), "-l", str(lib), "-o", str(out),
+        "--backend", "stream", "--all-queries",
+    ]) == 0
+    text = out.read_text()
+    assert text.count("# query:") == 3
+    # block for q1 must equal a single-query oracle run on the same library
+    from swtpu.oracle import score_many_vs_one
+    from swtpu.io.loader import load_encoded
+
+    qdb = load_encoded(str(qfa))
+    libdb = load_encoded(str(lib))
+    import re
+
+    blocks = re.split(r"# query: (\S+)\n", text)[1:]
+    got = dict(zip(blocks[0::2], blocks[1::2]))
+    names = [nm for nm in libdb.names if not nm.startswith("query")]
+    reads = [libdb.read(i) for i, nm in enumerate(libdb.names)
+             if not nm.startswith("query")]
+    for j in range(3):
+        want = score_many_vs_one(qdb.read(j), reads)
+        scores = [int(x) for x in re.findall(r"score: \t\s*(-?\d+)", got[f"q{j}"])]
+        assert scores == list(want)
