@@ -1,6 +1,6 @@
 from swtpu.bank.buckets import BucketPlan, plan_buckets
 from swtpu.bank.packer import PackedBatch, pack_pairs, pack_many_vs_one
-from swtpu.bank.scorebank import ScoreBank, ScoreResult
+from swtpu.bank.scorebank import LoadedDatabase, ScoreBank, ScoreResult
 
 __all__ = [
     "BucketPlan",
@@ -8,6 +8,7 @@ __all__ = [
     "PackedBatch",
     "pack_pairs",
     "pack_many_vs_one",
+    "LoadedDatabase",
     "ScoreBank",
     "ScoreResult",
 ]
