@@ -127,6 +127,13 @@ QUEUES = {
         (["experiments/tpu_step.py", "biased_chain"], 900),
         (["bench.py"], 560),
     ],
+    # round 4e: serving-path variants (on-device top-K, pipelined
+    # multi-query) + final bench rehearsal
+    "r4e": [
+        (["experiments/tpu_step.py", "loaded_serve"], 1500),
+        (["experiments/tpu_step.py", "warm_entry"], 900),
+        (["bench.py"], 560),
+    ],
     # round 4c: overlap re-measure with the dispatch worker thread (the
     # r4b finding: same-thread chunking lost 15-25% because the tunnel
     # client blocks the dispatching thread through most of the H2D)

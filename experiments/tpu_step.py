@@ -364,6 +364,50 @@ def _loaded_db(B=1 << 18, n=128, reps=4):
         )
 
 
+def _loaded_serve(B=1 << 18, n=128, nq=8):
+    """Serving-path variants on the resident database: on-device top-K
+    (2k scalars D2H instead of 1 MB of scores) and pipelined multi-query
+    dispatch."""
+    from swtpu.bank.scorebank import ScoreBank
+    from swtpu.oracle import score_many_vs_one
+
+    rng = np.random.default_rng(0)
+    th = rng.integers(0, 4, size=(B, n)).astype(np.int8)
+    lens = np.full(B, n, np.int32)
+    bank = ScoreBank(backend="stream", interpret=False)
+    t0 = time.time()
+    db = bank.load_database((th, lens))
+    log(f"load_database: {B} reads in {time.time()-t0:.1f}s")
+    queries = [rng.integers(0, 4, size=128).astype(np.int8) for _ in range(nq)]
+    # warm both executables
+    r = bank.score_loaded(queries[0], db)
+    want = score_many_vs_one(queries[0], list(th[:64]))
+    if not np.array_equal(r.scores[:64], want):
+        log("PARITY MISMATCH")
+        return
+    t0 = time.time()
+    top = bank.topk_loaded(queries[0], db, k=10)
+    log(f"topk_loaded warm (incl. compile): {time.time()-t0:.1f}s")
+    host_top = r.top_k(10)
+    log(f"topk parity: {'OK' if top == host_top else 'MISMATCH'} ({top[:3]})")
+    best = 1e9
+    for _ in range(4):
+        t0 = time.time()
+        bank.topk_loaded(queries[1], db, k=10)
+        best = min(best, time.time() - t0)
+    log(f"topk_loaded per query: {best*1e3:.0f} ms -> {B/best/1e6:.2f} Mreads/s")
+    # pipelined multi-query
+    bank.score_loaded_many(queries[:2], db)  # warm
+    t0 = time.time()
+    results = bank.score_loaded_many(queries, db)
+    dt = time.time() - t0
+    ok = np.array_equal(results[0].scores[:64], want)
+    log(
+        f"score_loaded_many: {nq} queries in {dt*1e3:.0f} ms -> "
+        f"{nq*B/dt/1e6:.2f} Mreads/s aggregate, parity {'OK' if ok else 'FAIL'}"
+    )
+
+
 def _shmosaic_smoke():
     """VERDICT r3 #1 (part 1): the production sharded stream scorer
     (make_sharded_stream_scorer) compiled as REAL Mosaic (interpret=False)
@@ -829,6 +873,7 @@ STEPS = {
     "e2e_overlap_w17": lambda: _e2e_overlap(chunks=(0, 1 << 17), reps=1),
     "e2e_overlap": lambda: _e2e_overlap(chunks=(0, 1 << 17, 1 << 16)),
     "loaded_db": _loaded_db,
+    "loaded_serve": _loaded_serve,
     # round-4: sharded chain at the bench's big batch (robust slope; the
     # full-database oracle top-3 is skipped at this size)
     "shmosaic_big_w1": lambda: _shmosaic_chain(ks=(1,), B=262144, check_top=False),

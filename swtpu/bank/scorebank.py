@@ -410,16 +410,15 @@ class ScoreBank:
             k_max=k_max,
         )
 
-    def score_loaded(self, query: np.ndarray, db: LoadedDatabase) -> ScoreResult:
-        """Score `query` against a device-resident database: only the query
-        register crosses H2D; the packed streams never leave HBM."""
+    def _dispatch_loaded(self, query: np.ndarray, db: LoadedDatabase):
+        """Async device dispatch for one query against a loaded database;
+        returns the un-materialized device scores array."""
         from swtpu.bank.streams import LANES
         from swtpu.ops.common import Q_PAD
         from swtpu.ops.pallas_stream import (
             sw_scores_stream, sw_scores_stream_long,
         )
 
-        t0 = time.perf_counter()
         query = np.asarray(query, np.int8)
         S = np.shape(db.stream)[0]
         kw = dict(
@@ -429,32 +428,32 @@ class ScoreBank:
         if len(query) <= LANES:
             q = np.full((S, LANES), Q_PAD, np.int8)
             q[:, : len(query)] = query[None, :]
-            scores = np.asarray(
-                sw_scores_stream(
-                    q, db.stream, db.emit_stream_dev, db.emit_step_dev,
-                    segments=1, score_width=self.config.score_width, **kw,
-                )
+            return sw_scores_stream(
+                q, db.stream, db.emit_stream_dev, db.emit_step_dev,
+                segments=1, score_width=self.config.score_width, **kw,
             )
-        else:
-            if self.config.score_width is not None:
-                raise ValueError(
-                    "score_width supports loaded queries to 128 bases "
-                    "(chained biased tiles route the column path)"
-                )
-            K = -(-len(query) // LANES)
-            if K > db.k_max:
-                raise ValueError(
-                    f"query of {len(query)} bases needs {K} tiles; database "
-                    f"was loaded with max_query_len for {db.k_max} — reload "
-                    "with a larger max_query_len"
-                )
-            q = np.full((S, K * LANES), Q_PAD, np.int8)
-            q[:, : len(query)] = query[None, :]
-            scores = np.asarray(
-                sw_scores_stream_long(
-                    q, db.stream, db.emit_stream_dev, db.emit_step_dev, **kw
-                )
+        if self.config.score_width is not None:
+            raise ValueError(
+                "score_width supports loaded queries to 128 bases "
+                "(chained biased tiles route the column path)"
             )
+        K = -(-len(query) // LANES)
+        if K > db.k_max:
+            raise ValueError(
+                f"query of {len(query)} bases needs {K} tiles; database "
+                f"was loaded with max_query_len for {db.k_max} — reload "
+                "with a larger max_query_len"
+            )
+        q = np.full((S, K * LANES), Q_PAD, np.int8)
+        q[:, : len(query)] = query[None, :]
+        return sw_scores_stream_long(
+            q, db.stream, db.emit_stream_dev, db.emit_step_dev, **kw
+        )
+
+    def _finish_loaded(self, dev_scores, query, db: LoadedDatabase, t0):
+        from swtpu.bank.streams import LANES
+
+        scores = np.asarray(dev_scores)
         if self.verify_integrity:
             from swtpu.utils.guards import check_scores
 
@@ -465,6 +464,43 @@ class ScoreBank:
         cells = int(len(query)) * db.total_chars
         padded = int(np.shape(db.stream)[0]) * int(np.shape(db.stream)[1]) * LANES
         return ScoreResult(scores, cells, padded, time.perf_counter() - t0)
+
+    def score_loaded(self, query: np.ndarray, db: LoadedDatabase) -> ScoreResult:
+        """Score `query` against a device-resident database: only the query
+        register crosses H2D; the packed streams never leave HBM."""
+        t0 = time.perf_counter()
+        return self._finish_loaded(self._dispatch_loaded(query, db), query, db, t0)
+
+    def score_loaded_many(
+        self, queries: Sequence[np.ndarray], db: LoadedDatabase
+    ) -> List[ScoreResult]:
+        """Score a batch of queries against one loaded database with
+        pipelined dispatch: every query's kernel is enqueued before any
+        result materializes, so per-call dispatch/sync overhead amortizes
+        across the batch (the serving form of the feeders' back-to-back
+        target streaming)."""
+        t0 = time.perf_counter()
+        devs = [self._dispatch_loaded(q, db) for q in queries]
+        return [
+            self._finish_loaded(d, q, db, t0) for d, q in zip(devs, queries)
+        ]
+
+    def topk_loaded(
+        self, query: np.ndarray, db: LoadedDatabase, k: int = 10
+    ) -> List[tuple]:
+        """Best-hit reporting straight off the device: the top-K cut runs
+        on-chip (two-level O(n) pass) and only 2k scalars cross D2H —
+        for serving workloads that never need the full score vector.
+        Tie order matches ScoreResult.top_k (score desc, id asc)."""
+        import jax.numpy as jnp
+
+        from swtpu.parallel.sharded import local_topk_jit
+
+        dev = self._dispatch_loaded(query, db)
+        ids = jnp.arange(db.n_reads, dtype=jnp.int32)
+        fs, fids = local_topk_jit(dev, ids, min(k, db.n_reads))
+        fs, fids = np.asarray(fs), np.asarray(fids)
+        return [(int(s), int(i)) for s, i in zip(fs, fids)]
 
     def _score_pairs_stream_mixed(
         self,

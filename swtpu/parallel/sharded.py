@@ -193,3 +193,7 @@ def _local_topk(masked, ids, kk: int):
     src = cand_idx[fi]
     live_src = src < R  # padding tail can only surface when kk > live rows
     return fs, jnp.where(live_src, ids[jnp.minimum(src, R - 1)], -1)
+
+
+# one-dispatch form for eager callers (ScoreBank.topk_loaded)
+local_topk_jit = jax.jit(_local_topk, static_argnums=2)

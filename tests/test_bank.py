@@ -294,3 +294,21 @@ def test_loaded_database_dense_form_and_guards():
     query = rng.integers(0, 4, size=40).astype(np.int8)
     res = bank.score_loaded(query, db)
     np.testing.assert_array_equal(res.scores, score_many_vs_one(query, targets))
+
+
+def test_loaded_database_many_and_topk():
+    rng = np.random.default_rng(23)
+    targets = [
+        rng.integers(0, 4, size=rng.integers(5, 60)).astype(np.int8)
+        for _ in range(19)
+    ]
+    bank = ScoreBank(backend="stream", interpret=True)
+    db = bank.load_database(targets)
+    queries = [rng.integers(0, 4, size=L).astype(np.int8) for L in (16, 64, 100)]
+    results = bank.score_loaded_many(queries, db)
+    for q, res in zip(queries, results):
+        np.testing.assert_array_equal(res.scores, score_many_vs_one(q, targets))
+    # on-device top-K matches the host ScoreResult.top_k, ties included
+    want = results[1].top_k(5)
+    got = bank.topk_loaded(queries[1], db, k=5)
+    assert got == want
