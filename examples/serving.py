@@ -56,6 +56,22 @@ def run():
         )
         assert ok
 
+    # best-hit-only serving: the top-K cut runs on the device, only 2k
+    # scalars come back
+    query = rng.integers(0, 4, size=64).astype(np.int8)
+    top = bank.topk_loaded(query, db, k=5)
+    assert top == bank.score_loaded(query, db).top_k(5)
+    print(f"on-device top-5: {top}")
+
+    # pipelined multi-query: every kernel enqueues before any result lands
+    queries = [rng.integers(0, 4, size=80).astype(np.int8) for _ in range(4)]
+    t0 = time.perf_counter()
+    results = bank.score_loaded_many(queries, db)
+    print(f"4 pipelined queries in {time.perf_counter()-t0:.2f}s")
+    for q, res in zip(queries, results):
+        assert np.array_equal(res.scores, score_many_vs_one(q, targets))
+    print("all parity OK")
+
 
 if __name__ == "__main__":
     run()
