@@ -290,14 +290,21 @@ class ScoreBank:
                 # many-vs-many at wavefront speed: per-stream query registers
                 # (the reference's per-module ld_q, ScoreBank_v2.v:99-102)
                 return self._score_pairs_stream(queries, targets, event_log)
-            # mixed-length pair sets stay on the wavefront too (round-3
-            # verdict: one 200-base query must not drop the whole set to the
-            # column path): short-query pairs ride the pair streams, and
-            # each distinct >128-base query's pairs chain query tiles
-            # through the long-query kernel — per-module ld_q
-            # (ScoreBank_v2.v:99-102) composed with the chaining ports
-            # (ScoringModule_v1.1.v:36-54)
-            return self._score_pairs_stream_mixed(queries, targets, event_log)
+            if self.config.score_width is None:
+                # mixed-length pair sets stay on the wavefront too (round-3
+                # verdict: one 200-base query must not drop the whole set to
+                # the column path): short-query pairs ride the pair streams,
+                # and each distinct >128-base query's pairs chain query
+                # tiles through the long-query kernel — per-module ld_q
+                # (ScoreBank_v2.v:99-102) composed with the chaining ports
+                # (ScoringModule_v1.1.v:36-54)
+                return self._score_pairs_stream_mixed(
+                    queries, targets, event_log
+                )
+            # biased (score_width) long-query pairs fall through to the
+            # bucketed dispatch: the chained BIASED tiles live in the column
+            # kernel, and the stream long kernel must never silently score
+            # them exactly
         cfg = self.config
         t0 = time.perf_counter()
         n = len(queries)

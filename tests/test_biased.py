@@ -277,3 +277,33 @@ def test_scorebank_stream_backend_score_width():
     # pairs ride the biased wavefront too
     res2 = bank.score_pairs([query] * len(targets), targets)
     np.testing.assert_array_equal(res2.scores, want)
+
+
+@pytest.mark.slow  # interpret-mode chained biased column build (~55 s)
+def test_scorebank_stream_biased_long_pairs_route_column():
+    """score_width + a >128-base query in score_pairs must keep wrap
+    semantics (chained biased column tiles), never silently score exactly
+    through the stream long kernel."""
+    from swtpu.bank import ScoreBank
+    from swtpu.config import SWConfig
+    from swtpu.oracle import sw_score_single_biased
+
+    rng = np.random.default_rng(12)
+    W = 10
+    qlong = np.tile(np.arange(4, dtype=np.int8), 50)  # 200 nt
+    qshort = rng.integers(0, 4, size=40).astype(np.int8)
+    queries = [qlong, qshort, qlong]
+    targets = [qlong.copy(),  # identical 200nt pair: exact 1000 > 511 wraps
+               rng.integers(0, 4, size=30).astype(np.int8),
+               rng.integers(0, 4, size=60).astype(np.int8)]
+    want = np.array(
+        [sw_score_single_biased(q, t, score_width=W)
+         for q, t in zip(queries, targets)], np.int32,
+    )
+    assert want[0] != 1000  # the wrap actually fires
+    bank = ScoreBank(
+        SWConfig(score_width=W, target_buckets=(64, 256)),
+        backend="stream", interpret=True,
+    )
+    res = bank.score_pairs(queries, targets)
+    np.testing.assert_array_equal(res.scores, want)
