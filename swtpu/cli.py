@@ -93,6 +93,11 @@ def cmd_score(args) -> int:
     )
     bank = ScoreBank(cfg, backend=args.backend)
     if getattr(args, "all_queries", False):
+        if args.resume or args.timeout:
+            raise SystemExit(
+                "--all-queries does not compose with --resume/--timeout "
+                "(each query is one short job; rerun is the restart unit)"
+            )
         return _score_all_queries(args, bank, names, targets)
     if bank.backend != "stream" and max_len > buckets[-1]:
         # only the bucketed backends have a static capacity ladder; the
