@@ -49,13 +49,19 @@ def _fingerprint(query: np.ndarray, targets, config, extra: str = "") -> str:
             h.update(np.asarray(t, np.int8).tobytes())
     h.update(
         json.dumps(
-            [config.penalties.astuple(), list(config.target_buckets), extra]
+            [
+                config.penalties.astuple(), list(config.target_buckets),
+                # anything that changes SCORES must invalidate prior state:
+                # wrap-parity width flips the whole arithmetic contract
+                config.score_width, extra,
+            ]
         ).encode()
     )
     return h.hexdigest()[:32]
 
 
-def _load_state(state_path: Path, fp: str, n_units: int, scores, done):
+def _load_state(state_path: Path, fp: str, n_units: int, scores, done,
+                padded=None):
     """Adopt a matching prior job's progress into (scores, done) in place."""
     if not state_path.exists():
         return
@@ -67,13 +73,17 @@ def _load_state(state_path: Path, fp: str, n_units: int, scores, done):
     ):
         scores[:] = st["scores"]
         done[:] = st["done"]
+        if padded is not None and "padded" in getattr(st, "files", ()):
+            padded[:] = st["padded"]
 
 
-def _save_state(state_path: Path, fp: str, n_units: int, scores, done):
+def _save_state(state_path: Path, fp: str, n_units: int, scores, done,
+                padded=None):
     tmp = state_path.with_suffix(".tmp.npz")
+    extra = {} if padded is None else {"padded": padded}
     np.savez(
         tmp, version=STATE_VERSION, fingerprint=fp,
-        n_batches=n_units, scores=scores, done=done,
+        n_batches=n_units, scores=scores, done=done, **extra,
     )
     os.replace(tmp, state_path)
 
@@ -145,9 +155,12 @@ def _resumable_stream(
     n_chunks = max(1, -(-n_reads // chunk_reads))
     scores = np.zeros((n_reads,), dtype=np.int32)
     done = np.zeros((n_chunks,), dtype=bool)
-    _load_state(state_path, fp, n_chunks, scores, done)
+    # persisted per-chunk padded-cell counts: resumed runs report the SAME
+    # totals as uninterrupted ones (pad efficiency stays meaningful)
+    chunk_padded = np.zeros((n_chunks,), dtype=np.int64)
+    _load_state(state_path, fp, n_chunks, scores, done, chunk_padded)
 
-    cells = padded = 0
+    cells = 0
     for ci in range(n_chunks):
         lo, hi = ci * chunk_reads, min((ci + 1) * chunk_reads, n_reads)
         if done[ci]:
@@ -166,7 +179,9 @@ def _resumable_stream(
         res = bank.score_database(query, chunk)
         scores[lo:hi] = res.scores
         cells += res.cells
-        padded += res.padded_cells
+        chunk_padded[ci] = res.padded_cells
         done[ci] = True
-        _save_state(state_path, fp, n_chunks, scores, done)
-    return ScoreResult(scores, cells, padded, time.perf_counter() - t0)
+        _save_state(state_path, fp, n_chunks, scores, done, chunk_padded)
+    return ScoreResult(
+        scores, cells, int(chunk_padded.sum()), time.perf_counter() - t0
+    )

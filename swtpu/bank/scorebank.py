@@ -357,9 +357,8 @@ class ScoreBank:
         import jax
 
         from swtpu.bank.streams import (
-            LANES, STREAM_PAD, pack_stream_wire, pack_streams,
+            LANES, pack_stream_wire, pack_streams, pack_streams_long,
         )
-        from swtpu.ops.pallas_stream import STEP_CHUNK
 
         if self.backend != "stream":
             raise ValueError(
@@ -371,30 +370,31 @@ class ScoreBank:
             rows = 16 if not self._interpret else 1
         phys = self.config.stream_phys if not self._interpret else 8
         tmat, tlens = _dense_form(targets)
-        # probe query of length 1: stream layout and emission coordinates
-        # are query-independent (drain = 128//rows - 1)
-        probe = np.zeros((1,), np.int8)
-        if tlens is not None:
-            batch = pack_streams(
-                probe, tmat, n_streams=phys, lens=tlens, rows=rows
+        k_max = max(1, -(-int(max_query_len) // LANES))
+        # probe query: stream layout and emission coordinates are
+        # query-independent (drain = 128//rows - 1); for a multi-tile
+        # capacity, pack_streams_long owns the chain's extra-drain math
+        if k_max > 1:
+            probe = np.zeros((k_max * LANES,), np.int8)
+            pack = lambda t, lens: pack_streams_long(
+                probe, t, n_streams=phys, rows=rows, lens=lens
             )
+        else:
+            probe = np.zeros((1,), np.int8)
+            pack = lambda t, lens: pack_streams(
+                probe, t, n_streams=phys, lens=lens, rows=rows
+            )
+        if tlens is not None:
+            batch = pack(tmat, tlens)
             t_lens = np.asarray(tlens, np.int64)
         else:
-            batch = pack_streams(probe, targets, n_streams=phys, rows=rows)
+            batch = pack(targets, None)
             t_lens = np.fromiter((len(t) for t in targets), np.int64)
         if self.verify_integrity:
             from swtpu.utils.guards import check_stream_batch
 
             check_stream_batch(batch)
-        k_max = max(1, -(-int(max_query_len) // LANES))
-        SL = LANES // rows
-        extra = (SL - 1) * (k_max - 1)
-        T = -(-(batch.stream.shape[1] + extra) // STEP_CHUNK) * STEP_CHUNK
         stream = batch.stream
-        if T != stream.shape[1]:
-            wide = np.full((phys, T), STREAM_PAD, np.int8)
-            wide[:, : stream.shape[1]] = stream
-            stream = wide
         if self.config.wire_2bit and not self._interpret:
             # one 2.5-bit/char crossing, expanded to the resident int8
             # stream on device
@@ -457,7 +457,8 @@ class ScoreBank:
             q, db.stream, db.emit_stream_dev, db.emit_step_dev, **kw
         )
 
-    def _finish_loaded(self, dev_scores, query, db: LoadedDatabase, t0):
+    def _finish_loaded(self, dev_scores, query, db: LoadedDatabase, t0,
+                       elapsed_override=None):
         from swtpu.bank.streams import LANES
 
         scores = np.asarray(dev_scores)
@@ -469,8 +470,18 @@ class ScoreBank:
                 self.config.penalties.match,
             )
         cells = int(len(query)) * db.total_chars
-        padded = int(np.shape(db.stream)[0]) * int(np.shape(db.stream)[1]) * LANES
-        return ScoreResult(scores, cells, padded, time.perf_counter() - t0)
+        # K query tiles each sweep the full wavefront capacity — same
+        # accounting as _score_database_stream_long
+        K = max(1, -(-len(query) // LANES))
+        padded = (
+            int(np.shape(db.stream)[0]) * int(np.shape(db.stream)[1])
+            * LANES * K
+        )
+        elapsed = (
+            elapsed_override if elapsed_override is not None
+            else time.perf_counter() - t0
+        )
+        return ScoreResult(scores, cells, padded, elapsed)
 
     def score_loaded(self, query: np.ndarray, db: LoadedDatabase) -> ScoreResult:
         """Score `query` against a device-resident database: only the query
@@ -485,11 +496,19 @@ class ScoreBank:
         pipelined dispatch: every query's kernel is enqueued before any
         result materializes, so per-call dispatch/sync overhead amortizes
         across the batch (the serving form of the feeders' back-to-back
-        target streaming)."""
+        target streaming).
+
+        Per-result `elapsed_s` is the batch wall time divided evenly —
+        under pipelined dispatch individual query timings don't exist;
+        summing the results' elapsed_s gives the true batch time."""
         t0 = time.perf_counter()
         devs = [self._dispatch_loaded(q, db) for q in queries]
+        for d in devs:
+            np.asarray(d)  # materialize in dispatch order
+        share = (time.perf_counter() - t0) / max(len(queries), 1)
         return [
-            self._finish_loaded(d, q, db, t0) for d, q in zip(devs, queries)
+            self._finish_loaded(d, q, db, t0, elapsed_override=share)
+            for d, q in zip(devs, queries)
         ]
 
     def topk_loaded(

@@ -453,15 +453,28 @@ def pack_streams_sharded(
     rows: int = 1,
 ) -> ShardedStreamBatch:
     """Deal reads round-robin to `n_shards` device shards and pack each with
-    :func:`pack_streams`; pad stream length and read count to shard maxima."""
+    :func:`pack_streams` (or :func:`pack_streams_long` for queries past one
+    128-row tile — the sharded form of the chained-tile path); pad stream
+    length and read count to shard maxima."""
     groups = [list(range(d, len(targets), n_shards)) for d in range(n_shards)]
-    batches = [
-        pack_streams(
-            query, [targets[i] for i in g], n_streams=n_streams,
-            segments=segments, rows=rows,
-        )
-        for g in groups
-    ]
+    if len(query) > LANES // segments:
+        if segments != 1:
+            raise ValueError("long queries require segments=1")
+        batches = [
+            pack_streams_long(
+                query, [targets[i] for i in g], n_streams=n_streams,
+                rows=rows,
+            )
+            for g in groups
+        ]
+    else:
+        batches = [
+            pack_streams(
+                query, [targets[i] for i in g], n_streams=n_streams,
+                segments=segments, rows=rows,
+            )
+            for g in groups
+        ]
     T = max(b.stream.shape[1] for b in batches)
     R = max(len(g) for g in groups)
     D = n_shards

@@ -92,29 +92,48 @@ def cmd_score(args) -> int:
         score_width=args.score_width or None,
     )
     bank = ScoreBank(cfg, backend=args.backend)
-    if getattr(args, "all_queries", False):
+    all_queries = getattr(args, "all_queries", False)
+    if all_queries:
         if args.resume or args.timeout:
             raise SystemExit(
                 "--all-queries does not compose with --resume/--timeout "
                 "(each query is one short job; rerun is the restart unit)"
             )
-        return _score_all_queries(args, bank, names, targets)
-    if bank.backend != "stream" and max_len > buckets[-1]:
-        # only the bucketed backends have a static capacity ladder; the
-        # stream backend's target axis is unbounded by design
-        # (pallas_stream.py:32-35) — a 20-kb read sails through the front
-        # door on TPU (the reference's TARGET_LENGTH cap, ScoreBank_v2.v:16,
-        # is NOT re-imposed voluntarily)
+        qpairs = _load_all_queries(args.query)
+        qlen_max = max((len(q) for _, q in qpairs), default=0)
+    else:
+        qpairs = None
+        qlen_max = len(query)
+    # capacity ladder: the stream backend's target axis is unbounded by
+    # design (pallas_stream.py:32-35) — a 20-kb read sails through the
+    # front door on TPU (the reference's TARGET_LENGTH cap,
+    # ScoreBank_v2.v:16, is NOT re-imposed voluntarily) — EXCEPT when
+    # wrap-parity routes a >128-base query through the bucketed column
+    # path, which still enforces it.  Either way the front door fails
+    # cleanly, never with a mid-run packer traceback.
+    ladder_applies = bank.backend != "stream" or (
+        cfg.score_width is not None and qlen_max > 128
+    )
+    if ladder_applies and max_len > buckets[-1]:
         raise SystemExit(
             f"read length {max_len} exceeds bucket capacity {buckets[-1]} "
-            f"on the {bank.backend!r} backend (raise --buckets, or use the "
-            "stream backend)"
+            f"for this configuration (raise --buckets, or use the stream "
+            "backend — without --score-width when queries exceed 128 bases)"
         )
     event_log = None
     if args.events:
         from swtpu.utils import EventLog
 
         event_log = EventLog(args.events)
+    if all_queries:
+        from swtpu.utils import profile_trace
+
+        with profile_trace(args.profile):
+            rc = _score_all_queries(args, bank, names, targets, qpairs,
+                                    event_log)
+        if event_log is not None:
+            event_log.close()
+        return rc
     t0 = time.perf_counter()
     from swtpu.utils import profile_trace
 
@@ -173,14 +192,19 @@ def cmd_score(args) -> int:
     return 0
 
 
-def _score_all_queries(args, bank, names, targets) -> int:
+def _score_all_queries(args, bank, names, targets, pairs, event_log=None) -> int:
     """Score EVERY query record against the library.  On the stream
     backend the database loads onto the device once (ScoreBank
     .load_database) and each query ships only its register — the
     many-queries serving pattern; bucketed backends loop score_database."""
-    pairs = _load_all_queries(args.query)
     t0 = time.perf_counter()
-    if bank.backend == "stream":
+    # score_width + any >128-base query routes the bucketed biased path;
+    # the loaded-database fast path serves the rest
+    use_loaded = bank.backend == "stream" and not (
+        bank.config.score_width is not None
+        and any(len(q) > 128 for _, q in pairs)
+    )
+    if use_loaded:
         db = bank.load_database(
             targets, max_query_len=max(len(q) for _, q in pairs)
         )
@@ -197,6 +221,16 @@ def _score_all_queries(args, bank, names, targets) -> int:
             _emit(out, names, res.scores, t0)
             tot_cells += res.cells
             tot_s += res.elapsed_s
+            if event_log is not None:
+                from swtpu.utils import BatchEvent
+
+                event_log.emit(
+                    BatchEvent(
+                        "query", t_wall=time.time(), elapsed_s=res.elapsed_s,
+                        reads=len(targets), cells=res.cells,
+                        padded_cells=res.padded_cells, note=f"query={name}",
+                    )
+                )
             if args.topk:
                 for s, i in res.top_k(args.topk):
                     print(f"# top[{name}]: >{names[i]} score: {s}", file=sys.stderr)

@@ -84,14 +84,25 @@ def make_sharded_stream_scorer(
     rows / state_dtype select the kernel variant (multi-row folding, score
     state width); the batch must be packed with the same `rows`.
     """
-    from swtpu.ops.pallas_stream import sw_scores_stream
+    from swtpu.ops.pallas_stream import (
+        LANES, sw_scores_stream, sw_scores_stream_long,
+    )
 
     def shard_fn(q, stream, es, ep, ids):
-        s = sw_scores_stream(
-            q[0], stream[0], es[0], ep[0],
-            penalties=penalties, interpret=interpret, segments=segments,
-            rows=rows, state_dtype=state_dtype,
-        )
+        if q.shape[-1] > LANES:
+            # chained-tile path for >128-base queries (the sharded form of
+            # the reference's reserved chaining ports)
+            s = sw_scores_stream_long(
+                q[0], stream[0], es[0], ep[0],
+                penalties=penalties, interpret=interpret, rows=rows,
+                state_dtype=state_dtype,
+            )
+        else:
+            s = sw_scores_stream(
+                q[0], stream[0], es[0], ep[0],
+                penalties=penalties, interpret=interpret, segments=segments,
+                rows=rows, state_dtype=state_dtype,
+            )
         if not k:
             return s[None, :]
         fin_s, fin_ids = _merge_topk(s, ids[0], k, axis)

@@ -145,3 +145,24 @@ def test_score_all_queries_loaded_db(tmp_path):
         want = score_many_vs_one(qdb.read(j), reads)
         scores = [int(x) for x in re.findall(r"score: \t\s*(-?\d+)", got[f"q{j}"])]
         assert scores == list(want)
+
+
+def test_all_queries_ladder_and_events(tmp_path):
+    """Round-4 review fixes: --all-queries enforces the bucket ladder for
+    bucketed backends (clean SystemExit, not a packer traceback) and
+    honors --events."""
+    fa = tmp_path / "gen.fa"
+    main(["generate", "-n", "4", "-L", "300", "-o", str(fa), "--seed", "11"])
+    with pytest.raises(SystemExit, match="exceeds bucket capacity"):
+        main(["score", "-q", str(fa), "-l", str(fa), "--backend", "scan",
+              "--all-queries", "--buckets", "32,128"])
+    ev = tmp_path / "events.jsonl"
+    out = tmp_path / "o.txt"
+    assert main(["score", "-q", str(fa), "-l", str(fa), "-o", str(out),
+                 "--backend", "stream", "--all-queries",
+                 "--events", str(ev)]) == 0
+    from swtpu.utils import EventLog
+
+    # the query FILE has 4 records (query + db1..db3) -> one event each
+    events = EventLog.parse(str(ev))
+    assert len(events) == 4 and all(e.kind == "query" for e in events)

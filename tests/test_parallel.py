@@ -241,3 +241,22 @@ def test_local_topk_two_level_exact():
     top_s, top_ids, scores = topk(q, t, ids)
     # every pair identical -> all scores tie; winners must be ids 0..5
     np.testing.assert_array_equal(np.asarray(top_ids), np.arange(6))
+
+
+def test_multihost_api_long_query(mesh):
+    """Round-4 review fix: the stream-backed production API must serve
+    >128-base queries (sharded chained tiles), matching the oracle."""
+    from swtpu.oracle import score_many_vs_one
+    from swtpu.parallel.multihost import score_database_multihost
+
+    rng = np.random.default_rng(6)
+    targets = [rng.integers(0, 4, size=rng.integers(4, 40)).astype(np.int8)
+               for _ in range(16)]
+    query = rng.integers(0, 4, size=200).astype(np.int8)
+    want = score_many_vs_one(query, targets)
+    top_s, top_ids, local = score_database_multihost(
+        query, targets, np.arange(16, dtype=np.int32), mesh=mesh, k=3
+    )
+    np.testing.assert_array_equal(local, want)
+    for s, i in zip(top_s, top_ids):
+        assert want[i] == s

@@ -206,3 +206,46 @@ def test_resume_stream_dense_form(tmp_path):
         bank, query, (mat, lens), state, chunk_reads=8
     )
     np.testing.assert_array_equal(res.scores, want)
+
+
+def test_resume_state_invalidated_by_score_width(tmp_path):
+    """Round-4 review fix: a state file from an EXACT run must not be
+    adopted by a wrap-parity run (score_width is part of the job
+    fingerprint) — resumed biased jobs re-score, never inherit exact
+    scores."""
+    from swtpu.oracle import sw_score_single_biased
+
+    rng = np.random.default_rng(9)
+    query = np.tile(np.arange(4, dtype=np.int8), 10)  # 40 nt
+    targets = [query.copy(), rng.integers(0, 4, size=30).astype(np.int8)]
+    # identical 40nt pair scores 200 exactly; at W=7 it wraps
+    state = tmp_path / "job.npz"
+    bank = ScoreBank(SWConfig(), backend="stream", interpret=True)
+    r1 = score_database_resumable(bank, query, targets, state, chunk_reads=8)
+    assert r1.scores[0] == 200
+
+    bank_b = ScoreBank(
+        SWConfig(score_width=7), backend="stream", interpret=True
+    )
+    want = np.array(
+        [sw_score_single_biased(query, t, score_width=7) for t in targets],
+        np.int32,
+    )
+    assert want[0] != 200
+    r2 = score_database_resumable(bank_b, query, targets, state, chunk_reads=8)
+    np.testing.assert_array_equal(r2.scores, want)
+
+
+def test_resume_stream_padded_accounting_on_rerun(tmp_path):
+    """A fully-resumed run reports the same padded_cells as the original
+    (per-chunk padded counts persist in the state file)."""
+    rng = np.random.default_rng(10)
+    query, targets = _workload(rng, n=20)
+    targets = [t[:90] for t in targets]
+    state = tmp_path / "job.npz"
+    bank = ScoreBank(SWConfig(), backend="stream", interpret=True)
+    r1 = score_database_resumable(bank, query, targets, state, chunk_reads=8)
+    r2 = score_database_resumable(bank, query, targets, state, chunk_reads=8)
+    assert r1.padded_cells > 0
+    assert r2.padded_cells == r1.padded_cells
+    assert r2.cells == r1.cells
