@@ -134,6 +134,11 @@ QUEUES = {
         (["experiments/tpu_step.py", "warm_entry"], 900),
         (["bench.py"], 560),
     ],
+    # round 4f: sharded chained-tile dispatch (review fix) as real Mosaic
+    "r4f": [
+        (["experiments/tpu_step.py", "shmosaic_long"], 1500),
+        (["bench.py"], 560),
+    ],
     # round 4c: overlap re-measure with the dispatch worker thread (the
     # r4b finding: same-thread chunking lost 15-25% because the tunnel
     # client blocks the dispatching thread through most of the H2D)

@@ -480,6 +480,41 @@ def _parity_biased(rows=16, S=128, W=7):
         log("BIASED PARITY OK")
 
 
+def _shmosaic_long(qlen=300, rows=16, S=128):
+    """Round-4 review fix validation: the sharded stream scorer's
+    chained-tile dispatch (queries > 128 bases) as real Mosaic on mesh(1)."""
+    from swtpu.bank.streams import pack_streams_sharded, scatter_sharded_scores
+    from swtpu.oracle import score_many_vs_one
+    from swtpu.parallel import make_mesh, make_sharded_stream_scorer
+
+    rng = np.random.default_rng(8)
+    targets = [
+        rng.integers(0, 4, size=rng.integers(3, 90)).astype(np.int8)
+        for _ in range(41)
+    ]
+    query = rng.integers(0, 4, size=qlen).astype(np.int8)
+    want = score_many_vs_one(query, targets)
+    batch = pack_streams_sharded(
+        query, targets, n_shards=1, n_streams=S, rows=rows
+    )
+    mesh = make_mesh(1)
+    scorer = make_sharded_stream_scorer(mesh, interpret=False, k=3, rows=rows)
+    t0 = time.time()
+    s, ts, tids = scorer(
+        batch.q, batch.stream, batch.emit_stream,
+        batch.emit_step.astype(np.int32), batch.ids,
+    )
+    s, ts = np.asarray(s), np.asarray(ts)
+    log(f"sharded long mosaic: compiled+ran in {time.time()-t0:.0f}s")
+    got = scatter_sharded_scores(s, batch, len(targets))
+    bad = np.nonzero(got != want)[0]
+    top_ok = list(ts) == sorted(want, reverse=True)[:3]
+    log(f"parity: {len(bad)} mismatches / {len(targets)}; top-3 "
+        f"{'OK' if top_ok else 'MISMATCH'}")
+    if len(bad) == 0 and top_ok:
+        log("SHARDED LONG MOSAIC OK")
+
+
 def _parity_biased_seg(rows=4, segments=4, S=128, W=7):
     """Biased wrap-parity on the segmented short-query config (the 32nt
     workload class), compiled Mosaic."""
@@ -887,6 +922,7 @@ STEPS = {
     "biased_parity_r16": lambda: _parity_biased(rows=16),
     "biased_parity_r1": lambda: _parity_biased(rows=1),
     "biased_parity_r4_seg4": lambda: _parity_biased_seg(),
+    "shmosaic_long": _shmosaic_long,
     "biased_w1": lambda: _chain_stream(512, ks=(1,), rows=16, score_width=12),
     "biased_w5": lambda: _chain_stream(512, ks=(5,), rows=16, score_width=12),
     # _chain_stream unrolls k in the jit body: measure at the warmed ks only
