@@ -212,7 +212,7 @@ def test_sharded_stream_topk_tie_consistency(mesh):
     assert got == host
 
 
-def test_local_topk_two_level_exact():
+def test_local_topk_two_level_exact(mesh):
     """The two-level per-shard top-k (large-R path) is exact, including
     (score desc, id asc) tie preference, against a numpy reference."""
     import jax.numpy as jnp
@@ -230,9 +230,6 @@ def test_local_topk_two_level_exact():
             np.testing.assert_array_equal(np.asarray(fs), s[order])
             np.testing.assert_array_equal(np.asarray(fids), ids[order])
     # and R > 512 through the full collective merge
-    from swtpu.parallel import make_mesh, make_sharded_topk
-
-    mesh = make_mesh(8)
     B, m, n = 8 * 1280, 8, 8
     q = np.tile(rng.integers(0, 4, size=(1, m)).astype(np.int8), (B, 1))
     t = np.tile(rng.integers(0, 4, size=(1, n)).astype(np.int8), (B, 1))

@@ -11,6 +11,13 @@ from swtpu.oracle import score_many_vs_one
 INTERPRET = jax.default_backend() != "tpu"
 
 
+def S_(n):
+    """Stream count: interpret mode exercises tiny counts; compiled
+    Mosaic (SWTPU_TEST_TPU=1) needs the 128-lane multiple."""
+    return n if INTERPRET else 128
+
+
+
 def _targets(rng, n, lo=3, hi=60):
     return [rng.integers(0, 4, size=rng.integers(lo, hi)).astype(np.int8) for _ in range(n)]
 
@@ -38,7 +45,7 @@ def test_stream_kernel_matches_oracle():
     targets = _targets(rng, 12)
     query = rng.integers(0, 4, size=17).astype(np.int8)
     want = score_many_vs_one(query, targets)
-    got = score_streams(query, targets, n_streams=8, interpret=INTERPRET)
+    got = score_streams(query, targets, n_streams=S_(8), interpret=INTERPRET)
     np.testing.assert_array_equal(got, want)
 
 
@@ -49,7 +56,7 @@ def test_stream_kernel_custom_penalties_and_empty_reads():
     query = rng.integers(0, 4, size=9).astype(np.int8)
     pen = Penalties(match=3, mismatch=-1, gap_open=-3, gap_extend=-2)
     want = score_many_vs_one(query, targets, pen)
-    got = score_streams(query, targets, n_streams=4, penalties=pen, interpret=INTERPRET)
+    got = score_streams(query, targets, n_streams=S_(4), penalties=pen, interpret=INTERPRET)
     np.testing.assert_array_equal(got, want)
     assert got[2] == 0
 
@@ -75,7 +82,7 @@ def test_segmented_stream_matches_oracle(segments):
     query = rng.integers(0, 4, size=qcap - 3).astype(np.int8)
     want = score_many_vs_one(query, targets)
     got = score_streams(
-        query, targets, n_streams=4 * segments, interpret=INTERPRET,
+        query, targets, n_streams=S_(4) * segments, interpret=INTERPRET,
         segments=segments,
     )
     np.testing.assert_array_equal(got, want)
@@ -105,7 +112,7 @@ def test_stream_wire_roundtrip_and_parity():
     targets = _targets(rng, 18, lo=3, hi=60)
     query = rng.integers(0, 4, size=23).astype(np.int8)
     want = score_many_vs_one(query, targets)
-    b = pack_streams(query, targets, n_streams=8)
+    b = pack_streams(query, targets, n_streams=S_(8))
     codes, flags = pack_stream_wire(b.stream)
     # wire is 2.5 bits/char
     assert codes.nbytes + flags.nbytes == b.stream.nbytes // 4 + b.stream.nbytes // 8
@@ -142,7 +149,7 @@ def test_multirow_stream_matches_oracle(rows):
     query = rng.integers(0, 4, size=97).astype(np.int8)
     want = score_many_vs_one(query, targets)
     got = score_streams(
-        query, targets, n_streams=8, interpret=INTERPRET, rows=rows
+        query, targets, n_streams=S_(8), interpret=INTERPRET, rows=rows
     )
     np.testing.assert_array_equal(got, want)
 
@@ -166,7 +173,7 @@ def test_multirow_segmented_stream(rows, segments):
     query = rng.integers(0, 4, size=qcap - 5).astype(np.int8)
     want = score_many_vs_one(query, targets)
     got = score_streams(
-        query, targets, n_streams=4 * segments, interpret=INTERPRET,
+        query, targets, n_streams=S_(4) * segments, interpret=INTERPRET,
         segments=segments, rows=rows,
     )
     np.testing.assert_array_equal(got, want)
@@ -179,7 +186,7 @@ def test_multirow_full_length_query():
     query = rng.integers(0, 4, size=128).astype(np.int8)
     want = score_many_vs_one(query, targets)
     got = score_streams(
-        query, targets, n_streams=8, interpret=INTERPRET, rows=4
+        query, targets, n_streams=S_(8), interpret=INTERPRET, rows=4
     )
     np.testing.assert_array_equal(got, want)
 
@@ -199,7 +206,7 @@ def test_stream_int16_state(rows):
     query = rng.integers(0, 4, size=113).astype(np.int8)
     want = score_many_vs_one(query, targets)
     got = score_streams(
-        query, targets, n_streams=8, interpret=INTERPRET, rows=rows,
+        query, targets, n_streams=S_(8), interpret=INTERPRET, rows=rows,
         state_dtype="int16",
     )
     np.testing.assert_array_equal(got, want)
@@ -215,7 +222,7 @@ def test_stream_float32_state(rows):
     query = rng.integers(0, 4, size=97).astype(np.int8)
     want = score_many_vs_one(query, targets)
     got = score_streams(
-        query, targets, n_streams=8, interpret=INTERPRET, rows=rows,
+        query, targets, n_streams=S_(8), interpret=INTERPRET, rows=rows,
         state_dtype="float32",
     )
     np.testing.assert_array_equal(got, want)
@@ -294,7 +301,7 @@ def test_stream_long_kernel_matches_oracle():
     targets = _targets(rng, 8, lo=3, hi=50)
     query = rng.integers(0, 4, size=300).astype(np.int8)  # K=3 tiles
     want = score_many_vs_one(query, targets)
-    b = pack_streams_long(query, targets, n_streams=8, rows=2)
+    b = pack_streams_long(query, targets, n_streams=S_(8), rows=2)
     got = np.asarray(
         sw_scores_stream_long(
             b.q, b.stream, b.emit_stream, b.emit_step.astype(np.int32),
@@ -313,7 +320,7 @@ def test_stream_long_single_tile_matches_short_path():
     targets = _targets(rng, 6, lo=2, hi=40)
     query = rng.integers(0, 4, size=90).astype(np.int8)
     want = score_many_vs_one(query, targets)
-    b = pack_streams_long(query, targets, n_streams=8, rows=1)
+    b = pack_streams_long(query, targets, n_streams=S_(8), rows=1)
     got = np.asarray(
         sw_scores_stream_long(
             b.q, b.stream, b.emit_stream, b.emit_step.astype(np.int32),
@@ -333,7 +340,7 @@ def test_stream_long_packed_wire_parity():
     targets = _targets(rng, 7, lo=3, hi=45)
     query = rng.integers(0, 4, size=200).astype(np.int8)  # K=2 tiles
     want = score_many_vs_one(query, targets)
-    b = pack_streams_long(query, targets, n_streams=8, rows=2)
+    b = pack_streams_long(query, targets, n_streams=S_(8), rows=2)
     codes, flags = pack_stream_wire(b.stream)
     got = np.asarray(
         sw_scores_stream_long_packed(
