@@ -133,9 +133,11 @@ def test_biased_kernel_in_range_equals_exact():
 
 
 def test_scorebank_score_width_routes_biased():
-    # SWConfig.score_width forces the column kernel's wrap-parity mode for
-    # the whole bank path (CLI: `swtpu score --score-width N`), mirroring
-    # main_test.c's biased `result - 2048` reporting surface.
+    # SWConfig.score_width selects a wrap-parity kernel for the whole bank
+    # path (CLI: `swtpu score --score-width N`), mirroring main_test.c's
+    # biased `result - 2048` reporting surface.  Round-4: auto resolves to
+    # the biased STREAM kernel on TPU, the column kernel elsewhere — both
+    # implement the identical contract.
     from swtpu.bank import ScoreBank
     from swtpu.config import SWConfig
 
@@ -145,7 +147,8 @@ def test_scorebank_score_width_routes_biased():
                for _ in range(6)]
     targets.append(query.copy())  # exact self-match: 200 > an 8-bit ceiling
     bank = ScoreBank(SWConfig(score_width=8, target_buckets=(40,)))
-    assert bank.backend == "pallas"
+    want_backend = "stream" if jax.default_backend() == "tpu" else "pallas"
+    assert bank.backend == want_backend
     got = bank.score_database(query, targets).scores
     want = np.array(
         [sw_score_single_biased(query, t, score_width=8) for t in targets],
