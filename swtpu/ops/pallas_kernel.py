@@ -81,7 +81,10 @@ def _sw_kernel(
         mask = jnp.array((1 << biased_width) - 1, dt)
         zbit = jnp.array(1 << (biased_width - 1), dt)
         zero = zbit  # biased representation of score 0 (boundary ties)
-    row_iota = jax.lax.broadcasted_iota(dt, (m, 1), 0)
+    # iota builds in int32 whatever the state dtype is: Mosaic's tpu.iota
+    # is integer-only (a float iota is a verification error), and the iota
+    # feeds comparisons exclusively
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
     # compare in int32 so the predicate has int32 layout (int8 i1 vectors
     # force an unsupported relayout on current Mosaic)
     q = q_ref[:, :].astype(dt)
@@ -162,7 +165,7 @@ def _sw_kernel_chained(
         mask = jnp.array((1 << biased_width) - 1, dt)
         zbit = jnp.array(1 << (biased_width - 1), dt)
         zero = zbit
-    row_iota = jax.lax.broadcasted_iota(dt, (mt, 1), 0)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (mt, 1), 0)  # int-only iota
     row0 = row_iota == 0
     q = q_ref[:, :].astype(dt)
     oe = jnp.array(go + ge, dt)
