@@ -245,6 +245,84 @@ def _score_all_queries(args, bank, names, targets, pairs, event_log=None) -> int
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Interactive serving loop: load the library once (device-resident on
+    TPU), then score queries from stdin until EOF — the long-lived host
+    process the reference's WED work queue implies (main_test.c loops one
+    job; a serving daemon loops many).
+
+    Protocol (line-oriented, scriptable):
+      SEQ <bases>   score a raw sequence (ACGT...)
+      TOP <k> <bases>  report only the best k hits (on-device top-K cut)
+      QUIT          exit
+    Responses: one `@..ns: >name score: S` block per SEQ (like `score`),
+    or `# top: >name score: S` lines per TOP; errors print `# error: ...`
+    and the loop continues."""
+    from swtpu.bank import ScoreBank
+    from swtpu.config import Penalties, SWConfig
+    from swtpu.io.encode import encode_seq
+    from swtpu.io.loader import load_encoded
+
+    pen = Penalties(args.match, args.mismatch, args.gap_open, args.gap_extend)
+    names, targets = _split_lib(load_encoded(args.library))
+    cfg = SWConfig(penalties=pen)
+    bank = ScoreBank(cfg, backend=args.backend)
+    use_loaded = bank.backend == "stream"
+    db = None
+    if use_loaded:
+        t0 = time.perf_counter()
+        db = bank.load_database(targets, max_query_len=args.max_query_len)
+        print(
+            f"# loaded {len(targets)} reads in "
+            f"{time.perf_counter()-t0:.2f}s (device-resident)",
+            file=sys.stderr,
+        )
+    else:
+        print(f"# serving {len(targets)} reads ({bank.backend})", file=sys.stderr)
+    inp = open(args.input) if args.input else sys.stdin
+    t_start = time.perf_counter()
+    served = 0
+    try:
+        for line in inp:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            try:
+                cmd, rest = (line.split(None, 1) + [""])[:2]
+                cmd = cmd.upper()
+                if cmd == "QUIT":
+                    break
+                if cmd == "SEQ":
+                    q = encode_seq(rest.strip())
+                    res = (
+                        bank.score_loaded(q, db) if use_loaded
+                        else bank.score_database(q, targets)
+                    )
+                    _emit(sys.stdout, names, res.scores, t_start)
+                    sys.stdout.flush()
+                elif cmd == "TOP":
+                    k_str, seq = rest.split(None, 1)
+                    q = encode_seq(seq.strip())
+                    top = (
+                        bank.topk_loaded(q, db, k=int(k_str)) if use_loaded
+                        else bank.score_database(q, targets).top_k(int(k_str))
+                    )
+                    for s, i in top:
+                        print(f"# top: >{names[i]} score: {s}")
+                    sys.stdout.flush()
+                else:
+                    raise ValueError(f"unknown command {cmd!r} (SEQ/TOP/QUIT)")
+                served += 1
+            except (ValueError, KeyError) as e:
+                print(f"# error: {e}")
+                sys.stdout.flush()
+    finally:
+        if args.input:
+            inp.close()
+    print(f"# served {served} queries", file=sys.stderr)
+    return 0
+
+
 def cmd_oracle(args) -> int:
     from swtpu.config import Penalties
     from swtpu.oracle import score_many_vs_one
@@ -416,6 +494,21 @@ def main(argv: Optional[List[str]] = None) -> int:
     pg.add_argument("-o", "--output", required=True)
     pg.add_argument("--seed", type=int, default=0)
     pg.set_defaults(fn=cmd_generate)
+
+    pv = sub.add_parser(
+        "serve",
+        help="load a library once (device-resident on TPU) and score "
+        "queries from stdin (SEQ/TOP/QUIT protocol)",
+    )
+    pv.add_argument("-l", "--library", required=True)
+    pv.add_argument("--input", help="read commands from a file instead of stdin")
+    pv.add_argument("--backend", default="auto", choices=["auto", "scan", "pallas", "stream"])
+    pv.add_argument(
+        "--max-query-len", dest="max_query_len", type=int, default=512,
+        help="query-tile capacity the resident database is packed for",
+    )
+    _add_pen_args(pv)
+    pv.set_defaults(fn=cmd_serve)
 
     pb = sub.add_parser("bench", help="run the headline GCUPS benchmark")
     pb.set_defaults(fn=cmd_bench)

@@ -166,3 +166,71 @@ def test_all_queries_ladder_and_events(tmp_path):
     # the query FILE has 4 records (query + db1..db3) -> one event each
     events = EventLog.parse(str(ev))
     assert len(events) == 4 and all(e.kind == "query" for e in events)
+
+
+def test_serve_protocol(tmp_path, capsys):
+    """`swtpu serve`: load the library once, score SEQ/TOP commands from a
+    file, keep running past protocol errors, exit on QUIT."""
+    from swtpu.io.encode import CODE_BASES
+    from swtpu.oracle import score_many_vs_one, sw_score_single
+    from swtpu.io.loader import load_encoded
+
+    lib = tmp_path / "lib.fa"
+    main(["generate", "-n", "6", "-L", "40", "-o", str(lib), "--seed", "13"])
+    rng = np.random.default_rng(14)
+    qcodes = rng.integers(0, 4, size=25)
+    seq = "".join(CODE_BASES[int(c)] for c in qcodes)
+    cmds = tmp_path / "session.txt"
+    cmds.write_text(
+        f"SEQ {seq}\n"
+        "BOGUS command\n"
+        f"TOP 2 {seq}\n"
+        "QUIT\n"
+        f"SEQ {seq}\n"  # after QUIT: never served
+    )
+    assert main(["serve", "-l", str(lib), "--input", str(cmds),
+                 "--backend", "scan"]) == 0
+    out = capsys.readouterr().out
+    libdb = load_encoded(str(lib))
+    reads = [libdb.read(i) for i, nm in enumerate(libdb.names)
+             if not nm.startswith("query")]
+    want = score_many_vs_one(qcodes.astype(np.int8), reads)
+    import re
+
+    scores = [int(x) for x in re.findall(r"score: \t\s*(-?\d+)", out)]
+    assert scores[: len(want)] == list(want)  # the SEQ block
+    assert "# error: unknown command 'BOGUS'" in out
+    top_lines = [l for l in out.splitlines() if l.startswith("# top:")]
+    assert len(top_lines) == 2
+    best = max(want)
+    assert f"score: {best}" in top_lines[0]
+    assert out.count("score: \t") == len(want)  # QUIT stopped the loop
+
+
+def test_serve_stream_loaded(tmp_path, capsys):
+    """serve on the stream backend rides the device-resident database,
+    incl. the on-device TOP cut."""
+    from swtpu.io.encode import CODE_BASES
+    from swtpu.io.loader import load_encoded
+    from swtpu.oracle import score_many_vs_one
+
+    lib = tmp_path / "lib.fa"
+    main(["generate", "-n", "5", "-L", "30", "-o", str(lib), "--seed", "15"])
+    rng = np.random.default_rng(16)
+    qcodes = rng.integers(0, 4, size=20)
+    seq = "".join(CODE_BASES[int(c)] for c in qcodes)
+    cmds = tmp_path / "s.txt"
+    cmds.write_text(f"SEQ {seq}\nTOP 3 {seq}\n")
+    assert main(["serve", "-l", str(lib), "--input", str(cmds),
+                 "--backend", "stream"]) == 0
+    out = capsys.readouterr().out
+    libdb = load_encoded(str(lib))
+    reads = [libdb.read(i) for i, nm in enumerate(libdb.names)
+             if not nm.startswith("query")]
+    want = score_many_vs_one(qcodes.astype(np.int8), reads)
+    import re
+
+    scores = [int(x) for x in re.findall(r"score: \t\s*(-?\d+)", out)]
+    assert scores == list(want)
+    top_lines = [l for l in out.splitlines() if l.startswith("# top:")]
+    assert len(top_lines) == 3 and f"score: {max(want)}" in top_lines[0]
