@@ -520,6 +520,14 @@ def pack_stream_wire(stream: np.ndarray):
     N, T = stream.shape
     if T % 8:
         raise ValueError(f"stream length {T} must be a multiple of 8")
+    try:
+        # per-dispatch hot path: one C++ pass instead of numpy temporaries
+        from swtpu.runtime.native import NativePacker, native_available
+
+        if native_available():
+            return NativePacker().pack_wire(stream)
+    except RuntimeError:
+        pass
     u = stream.astype(np.uint8)
     quads = (u & 3).reshape(N, T // 4, 4)
     shifts = np.array([0, 2, 4, 6], dtype=np.uint8)

@@ -78,6 +78,10 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.swtpu_pack_2bit.argtypes = [i8p, ctypes.c_int64, u8p]
     lib.swtpu_unpack_2bit.restype = None
     lib.swtpu_unpack_2bit.argtypes = [u8p, ctypes.c_int64, i8p]
+    lib.swtpu_pack_wire.restype = None
+    lib.swtpu_pack_wire.argtypes = [
+        i8p, ctypes.c_int64, ctypes.c_int64, u8p, u8p,
+    ]
     lib.swtpu_plan_streams.restype = ctypes.c_int64
     lib.swtpu_plan_streams.argtypes = [
         i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i32p, i64p,
@@ -196,6 +200,19 @@ class NativePacker:
             drain, flag_bit, _as(stream, ctypes.c_int8), T,
         )
         return stream
+
+    def pack_wire(self, stream: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """One-pass stream-wire packing: (codes [N, T//4], flags [N, T//8])
+        — the per-dispatch hot path of the 2.5-bit/char transfer format."""
+        stream = np.ascontiguousarray(stream, np.int8)
+        N, T = stream.shape
+        codes = np.empty((N, T // 4), np.uint8)
+        flags = np.empty((N, T // 8), np.uint8)
+        self._lib.swtpu_pack_wire(
+            _as(stream, ctypes.c_int8), N, T,
+            _as(codes, ctypes.c_uint8), _as(flags, ctypes.c_uint8),
+        )
+        return codes, flags
 
     def pack_2bit(self, codes: np.ndarray) -> np.ndarray:
         codes = np.ascontiguousarray(codes, np.int8)

@@ -205,4 +205,30 @@ void swtpu_unpack_2bit(const uint8_t* packed, int64_t n, int8_t* out) {
     out[i] = (int8_t)((packed[i / 4] >> (2 * (i % 4))) & 3);
 }
 
+// Full stream-wire packing in one pass: 2-bit codes 4/byte LSB-first plus
+// the first-char flag bitmap 8/byte (flag bit 3 of the char stream) — the
+// host side of the 2.5-bit/char transfer format (see
+// swtpu.bank.streams.pack_stream_wire; device inverse: unpack_stream_wire).
+// stream: [N, T] row-major, T % 8 == 0; codes: [N, T/4]; flags: [N, T/8].
+void swtpu_pack_wire(const int8_t* stream, int64_t N, int64_t T,
+                     uint8_t* codes, uint8_t* flags) {
+  const int64_t cq = T / 4, fq = T / 8;
+  for (int64_t r = 0; r < N; ++r) {
+    const int8_t* row = stream + r * T;
+    uint8_t* crow = codes + r * cq;
+    uint8_t* frow = flags + r * fq;
+    for (int64_t b = 0; b < cq; ++b) {
+      const int8_t* p = row + b * 4;
+      crow[b] = (uint8_t)((p[0] & 3) | ((p[1] & 3) << 2) | ((p[2] & 3) << 4) |
+                          ((p[3] & 3) << 6));
+    }
+    for (int64_t b = 0; b < fq; ++b) {
+      const int8_t* p = row + b * 8;
+      uint8_t f = 0;
+      for (int k = 0; k < 8; ++k) f |= (uint8_t)(((p[k] >> 3) & 1) << k);
+      frow[b] = f;
+    }
+  }
+}
+
 }  // extern "C"

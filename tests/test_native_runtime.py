@@ -73,3 +73,29 @@ def test_pack_2bit_roundtrip_matches_python():
     np.testing.assert_array_equal(packed, pack_2bit(codes))
     np.testing.assert_array_equal(p.unpack_2bit(packed, 37), codes)
     np.testing.assert_array_equal(unpack_2bit(packed, 37), codes)
+
+
+def test_native_pack_wire_matches_numpy():
+    """The C++ one-pass wire packer is bit-identical to the numpy form
+    (codes 4/byte LSB-first + flag bitmap 8/byte)."""
+    import numpy as np
+
+    from swtpu.runtime.native import NativePacker, native_available
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(0)
+    stream = rng.integers(0, 4, size=(7, 64)).astype(np.int8)
+    stream[rng.random(stream.shape) < 0.1] |= 8  # scattered flags
+    stream[2, 40:] = 4  # pad tail
+    codes, flags = NativePacker().pack_wire(stream)
+    u = stream.astype(np.uint8)
+    quads = (u & 3).reshape(7, -1, 4)
+    codes_ref = np.bitwise_or.reduce(
+        quads << np.array([0, 2, 4, 6], np.uint8), axis=2
+    ).astype(np.uint8)
+    flags_ref = np.packbits((u & 8) != 0, axis=1, bitorder="little")
+    np.testing.assert_array_equal(codes, codes_ref)
+    np.testing.assert_array_equal(flags, flags_ref)
