@@ -134,6 +134,12 @@ QUEUES = {
         (["experiments/tpu_step.py", "warm_entry"], 900),
         (["bench.py"], 560),
     ],
+    # round 4g: e2e re-measure with the native one-pass wire packer
+    "r4g": [
+        (["experiments/tpu_step.py", "e2e_overlap"], 1500),
+        (["experiments/tpu_step.py", "loaded_db"], 1500),
+        (["bench.py"], 560),
+    ],
     # round 4f: sharded chained-tile dispatch (review fix) as real Mosaic
     "r4f": [
         (["experiments/tpu_step.py", "shmosaic_long"], 1500),
