@@ -363,3 +363,94 @@ def test_scorebank_stream_long_query():
     res = bank.score_database(query, targets)
     np.testing.assert_array_equal(res.scores, want)
     assert res.cells == sum(257 * len(t) for t in targets)
+
+
+@pytest.mark.slow
+def test_fuzz_differential_sweep():
+    """Seeded randomized differential sweep: random penalties, query
+    lengths, segment/row configs, ragged (incl. empty) reads — every
+    combination must match the numpy oracle bit-exactly.  The swtpu analog
+    of PSLSE's seeded randomized regression (pslse.parms SEED ranges)."""
+    rng = np.random.default_rng(0xF0220)
+    for it in range(12):
+        pen = Penalties(
+            match=int(rng.integers(1, 9)),
+            mismatch=-int(rng.integers(1, 9)),
+            gap_open=-int(rng.integers(1, 14)),
+            gap_extend=-int(rng.integers(1, 7)),
+        )
+        segments = int(rng.choice([1, 2, 4]))
+        rows = int(rng.choice([1, 2, 4] if segments == 4 else [1, 2, 4, 8]))
+        qcap = 128 // segments
+        qlen = int(rng.integers(1, qcap + 1))
+        query = rng.integers(0, 4, size=qlen).astype(np.int8)
+        n = int(rng.integers(3, 25))
+        targets = [
+            rng.integers(0, 4, size=int(rng.integers(0, 80))).astype(np.int8)
+            for _ in range(n)
+        ]
+        want = score_many_vs_one(query, targets, pen)
+        got = score_streams(
+            query, targets, n_streams=S_(4) * segments, penalties=pen,
+            interpret=INTERPRET, segments=segments, rows=rows,
+        )
+        np.testing.assert_array_equal(
+            got, want,
+            err_msg=f"iter {it}: pen={pen} seg={segments} rows={rows} "
+            f"qlen={qlen}",
+        )
+
+
+@pytest.mark.slow
+def test_fuzz_differential_long_and_biased():
+    """Fuzz the chained long-query kernel and the biased wrap mode."""
+    from swtpu.bank.streams import pack_streams, pack_streams_long
+    from swtpu.bank.streams import gather_stream_scores
+    from swtpu.oracle import sw_score_single_biased
+    from swtpu.ops.pallas_stream import (
+        sw_scores_stream, sw_scores_stream_long,
+    )
+
+    rng = np.random.default_rng(0xF0221)
+    for it in range(6):
+        qlen = int(rng.integers(129, 520))
+        rows = int(rng.choice([1, 2, 4]))
+        query = rng.integers(0, 4, size=qlen).astype(np.int8)
+        targets = [
+            rng.integers(0, 4, size=int(rng.integers(1, 60))).astype(np.int8)
+            for _ in range(int(rng.integers(3, 12)))
+        ]
+        want = score_many_vs_one(query, targets)
+        b = pack_streams_long(query, targets, n_streams=S_(8), rows=rows)
+        got = np.asarray(
+            sw_scores_stream_long(
+                b.q, b.stream, b.emit_stream, b.emit_step.astype(np.int32),
+                interpret=INTERPRET, rows=rows,
+            )
+        )
+        np.testing.assert_array_equal(
+            got, want, err_msg=f"long iter {it}: qlen={qlen} rows={rows}"
+        )
+    for it in range(6):
+        W = int(rng.integers(6, 11))
+        qlen = int(rng.integers(10, 120))
+        query = rng.integers(0, 4, size=qlen).astype(np.int8)
+        targets = [
+            rng.integers(0, 4, size=int(rng.integers(1, 60))).astype(np.int8)
+            for _ in range(8)
+        ] + [query[: int(rng.integers(1, qlen + 1))].copy() for _ in range(3)]
+        want = np.array(
+            [sw_score_single_biased(query, t, score_width=W) for t in targets],
+            np.int32,
+        )
+        rows = int(rng.choice([1, 2, 4]))
+        b = pack_streams(query, targets, n_streams=S_(4), rows=rows)
+        got = np.asarray(
+            sw_scores_stream(
+                b.q, b.stream, b.emit_stream, b.emit_step.astype(np.int32),
+                interpret=INTERPRET, rows=rows, score_width=W,
+            )
+        )
+        np.testing.assert_array_equal(
+            got, want, err_msg=f"biased iter {it}: W={W} qlen={qlen} rows={rows}"
+        )
