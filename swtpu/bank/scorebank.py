@@ -83,6 +83,7 @@ class LoadedDatabase:
     n_reads: int
     rows: int
     k_max: int  # query-tile capacity the stream was drain-padded for
+    segments: int = 1  # queries per lane column (short-query occupancy)
 
 
 class ScoreBank:
@@ -350,8 +351,11 @@ class ScoreBank:
         expansion when wire_2bit is set); every subsequent
         :meth:`score_loaded` ships only the ~16 KB query register and reads
         back n_reads int32 scores.  `max_query_len` sets the query-tile
-        capacity (the stream gains the chained kernel's extra drain steps
-        for queries past 128 bases — pack once, serve any length up to it).
+        capacity: past 128 bases the stream gains the chained kernel's
+        extra drain steps (pack once, serve any length up to it); at 32 or
+        fewer bases the database packs segments=4 (64: segments=2) so short
+        queries keep full wavefront occupancy — the same auto-segmentation
+        as score_database.
 
         Requires the stream backend."""
         import jax
@@ -365,15 +369,25 @@ class ScoreBank:
                 f"load_database requires the stream backend (got "
                 f"{self.backend!r})"
             )
+        # auto-segmentation mirrors score_database: <=32-base capacity packs
+        # 4 query segments per lane column, <=64 packs 2
+        if max_query_len <= LANES // 4:
+            segments = 4
+        elif max_query_len <= LANES // 2:
+            segments = 2
+        else:
+            segments = 1
         rows = self.config.stream_rows
         if rows == 0:
-            rows = 16 if not self._interpret else 1
+            rows = (
+                {1: 16, 2: 8, 4: 4}[segments] if not self._interpret else 1
+            )
         phys = self.config.stream_phys if not self._interpret else 8
         tmat, tlens = _dense_form(targets)
         k_max = max(1, -(-int(max_query_len) // LANES))
         # probe query: stream layout and emission coordinates are
-        # query-independent (drain = 128//rows - 1); for a multi-tile
-        # capacity, pack_streams_long owns the chain's extra-drain math
+        # query-independent (drain = 128//(rows*segments) - 1); for a
+        # multi-tile capacity, pack_streams_long owns the extra-drain math
         if k_max > 1:
             probe = np.zeros((k_max * LANES,), np.int8)
             pack = lambda t, lens: pack_streams_long(
@@ -382,7 +396,8 @@ class ScoreBank:
         else:
             probe = np.zeros((1,), np.int8)
             pack = lambda t, lens: pack_streams(
-                probe, t, n_streams=phys, lens=lens, rows=rows
+                probe, t, n_streams=phys * segments, segments=segments,
+                lens=lens, rows=rows,
             )
         if tlens is not None:
             batch = pack(tmat, tlens)
@@ -415,6 +430,7 @@ class ScoreBank:
             n_reads=len(t_lens),
             rows=rows,
             k_max=k_max,
+            segments=segments,
         )
 
     def _dispatch_loaded(self, query: np.ndarray, db: LoadedDatabase):
@@ -428,16 +444,24 @@ class ScoreBank:
 
         query = np.asarray(query, np.int8)
         S = np.shape(db.stream)[0]
+        qcap = LANES // db.segments
         kw = dict(
             penalties=self.config.penalties, interpret=self._interpret,
             rows=db.rows, state_dtype=self._stream_dtype(),
         )
-        if len(query) <= LANES:
-            q = np.full((S, LANES), Q_PAD, np.int8)
+        if len(query) <= qcap:
+            q = np.full((S, qcap), Q_PAD, np.int8)
             q[:, : len(query)] = query[None, :]
             return sw_scores_stream(
                 q, db.stream, db.emit_stream_dev, db.emit_step_dev,
-                segments=1, score_width=self.config.score_width, **kw,
+                segments=db.segments, score_width=self.config.score_width,
+                **kw,
+            )
+        if db.segments > 1:
+            raise ValueError(
+                f"query of {len(query)} bases exceeds the segmented "
+                f"capacity {qcap} this database was loaded for — reload "
+                "with a larger max_query_len"
             )
         if self.config.score_width is not None:
             raise ValueError(
@@ -470,12 +494,13 @@ class ScoreBank:
                 self.config.penalties.match,
             )
         cells = int(len(query)) * db.total_chars
-        # K query tiles each sweep the full wavefront capacity — same
-        # accounting as _score_database_stream_long
+        # K query tiles each sweep the physical wavefront capacity
+        # (LANES//segments rows per logical stream position) — same
+        # accounting as the database stream paths
         K = max(1, -(-len(query) // LANES))
         padded = (
             int(np.shape(db.stream)[0]) * int(np.shape(db.stream)[1])
-            * LANES * K
+            * (LANES // db.segments) * K
         )
         elapsed = (
             elapsed_override if elapsed_override is not None

@@ -312,3 +312,25 @@ def test_loaded_database_many_and_topk():
     want = results[1].top_k(5)
     got = bank.topk_loaded(queries[1], db, k=5)
     assert got == want
+
+
+def test_loaded_database_segmented_short_queries():
+    """max_query_len <= 32 packs the resident database segments=4 (full
+    wavefront occupancy for the 32nt class); capacity overflow raises with
+    a reload hint."""
+    rng = np.random.default_rng(24)
+    targets = [
+        rng.integers(0, 4, size=rng.integers(4, 50)).astype(np.int8)
+        for _ in range(15)
+    ]
+    bank = ScoreBank(backend="stream", interpret=True)
+    db = bank.load_database(targets, max_query_len=32)
+    assert db.segments == 4
+    for qlen in (8, 30):
+        query = rng.integers(0, 4, size=qlen).astype(np.int8)
+        res = bank.score_loaded(query, db)
+        np.testing.assert_array_equal(
+            res.scores, score_many_vs_one(query, targets)
+        )
+    with pytest.raises(ValueError, match="segmented capacity"):
+        bank.score_loaded(rng.integers(0, 4, size=50).astype(np.int8), db)
