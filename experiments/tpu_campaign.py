@@ -134,6 +134,11 @@ QUEUES = {
         (["experiments/tpu_step.py", "warm_entry"], 900),
         (["bench.py"], 560),
     ],
+    # round 4h: segmented short-query serving class
+    "r4h": [
+        (["experiments/tpu_step.py", "loaded_seg"], 1500),
+        (["bench.py"], 560),
+    ],
     # round 4g: e2e re-measure with the native one-pass wire packer
     "r4g": [
         (["experiments/tpu_step.py", "e2e_overlap"], 1500),

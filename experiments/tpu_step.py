@@ -364,6 +364,38 @@ def _loaded_db(B=1 << 18, n=128, reps=4):
         )
 
 
+def _loaded_seg(B=1 << 18, n=32, nq=4):
+    """Segmented short-query serving: a 32nt-class database loaded
+    segments=4 (full wavefront occupancy), queries served per register."""
+    from swtpu.bank.scorebank import ScoreBank
+    from swtpu.oracle import score_many_vs_one
+
+    rng = np.random.default_rng(0)
+    th = rng.integers(0, 4, size=(B, n)).astype(np.int8)
+    lens = np.full(B, n, np.int32)
+    bank = ScoreBank(backend="stream", interpret=False)
+    t0 = time.time()
+    db = bank.load_database((th, lens), max_query_len=32)
+    log(f"load seg db: {B} reads in {time.time()-t0:.1f}s "
+        f"(segments={db.segments} rows={db.rows})")
+    query = rng.integers(0, 4, size=32).astype(np.int8)
+    want64 = score_many_vs_one(query, list(th[:64]))
+    t0 = time.time()
+    r = bank.score_loaded(query, db)
+    log(f"score_loaded 32nt: compile+warm {time.time()-t0:.0f}s")
+    if not np.array_equal(r.scores[:64], want64):
+        log("PARITY MISMATCH")
+        return
+    best = 1e9
+    for _ in range(nq):
+        r = bank.score_loaded(query, db)
+        best = min(best, r.elapsed_s)
+    log(
+        f"score_loaded 32nt seg4: best {best*1e3:.0f} ms -> "
+        f"{B/best/1e6:.2f} Mreads/s per query, {r.cells/best/1e9:.1f} GCUPS e2e"
+    )
+
+
 def _loaded_serve(B=1 << 18, n=128, nq=8):
     """Serving-path variants on the resident database: on-device top-K
     (2k scalars D2H instead of 1 MB of scores) and pipelined multi-query
@@ -909,6 +941,7 @@ STEPS = {
     "e2e_overlap": lambda: _e2e_overlap(chunks=(0, 1 << 17, 1 << 16)),
     "loaded_db": _loaded_db,
     "loaded_serve": _loaded_serve,
+    "loaded_seg": _loaded_seg,
     # round-4: sharded chain at the bench's big batch (robust slope; the
     # full-database oracle top-3 is skipped at this size)
     "shmosaic_big_w1": lambda: _shmosaic_chain(ks=(1,), B=262144, check_top=False),
