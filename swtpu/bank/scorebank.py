@@ -75,7 +75,7 @@ class LoadedDatabase:
     :meth:`ScoreBank.score_loaded`.
     """
 
-    stream: object  # [S, T] int8 device array (expanded on device)
+    stream: object  # [T, N] int8 device array (KERNEL layout, resident)
     emit_stream_dev: object  # [n_reads] int32 device
     emit_step_dev: object  # [n_reads] int32 device
     t_lens: np.ndarray  # per-read true lengths (cells + guard bounds)
@@ -410,17 +410,19 @@ class ScoreBank:
 
             check_stream_batch(batch)
         stream = batch.stream
+        # resident layout is the KERNEL's [T, N]: per-query dispatches skip
+        # the full-stream relayout (sw_scores_stream_kernel_layout) — the
+        # one-time transpose happens on device at load
         if self.config.wire_2bit and not self._interpret:
-            # one 2.5-bit/char crossing, expanded to the resident int8
-            # stream on device
+            # one 2.5-bit/char crossing, expanded + transposed on device
             from swtpu.ops.pallas_stream import unpack_stream_wire
 
             codes, flags = pack_stream_wire(stream)
-            dev_stream = jax.jit(unpack_stream_wire)(
-                jax.device_put(codes), jax.device_put(flags)
-            )
+            dev_stream = jax.jit(
+                lambda c, f: unpack_stream_wire(c, f).T
+            )(jax.device_put(codes), jax.device_put(flags))
         else:
-            dev_stream = jax.device_put(stream)
+            dev_stream = jax.device_put(np.ascontiguousarray(stream.T))
         return LoadedDatabase(
             stream=dev_stream,
             emit_stream_dev=jax.device_put(batch.emit_stream),
@@ -439,21 +441,23 @@ class ScoreBank:
         from swtpu.bank.streams import LANES
         from swtpu.ops.common import Q_PAD
         from swtpu.ops.pallas_stream import (
-            sw_scores_stream, sw_scores_stream_long,
+            _q_kernel_layout, sw_scores_stream_kernel_layout,
+            sw_scores_stream_long,
         )
 
         query = np.asarray(query, np.int8)
-        S = np.shape(db.stream)[0]
+        N = np.shape(db.stream)[1]  # logical streams (kernel layout [T, N])
         qcap = LANES // db.segments
         kw = dict(
             penalties=self.config.penalties, interpret=self._interpret,
             rows=db.rows, state_dtype=self._stream_dtype(),
         )
         if len(query) <= qcap:
-            q = np.full((S, qcap), Q_PAD, np.int8)
+            q = np.full((N, qcap), Q_PAD, np.int8)
             q[:, : len(query)] = query[None, :]
-            return sw_scores_stream(
-                q, db.stream, db.emit_stream_dev, db.emit_step_dev,
+            qk = _q_kernel_layout(q, db.segments, db.rows)
+            return sw_scores_stream_kernel_layout(
+                qk, db.stream, db.emit_stream_dev, db.emit_step_dev,
                 segments=db.segments, score_width=self.config.score_width,
                 **kw,
             )
@@ -475,10 +479,12 @@ class ScoreBank:
                 f"was loaded with max_query_len for {db.k_max} — reload "
                 "with a larger max_query_len"
             )
-        q = np.full((S, K * LANES), Q_PAD, np.int8)
+        q = np.full((N, K * LANES), Q_PAD, np.int8)
         q[:, : len(query)] = query[None, :]
+        # the chained kernel consumes the logical [N, T] orientation; the
+        # per-call transpose only applies to the (rarer) long-query class
         return sw_scores_stream_long(
-            q, db.stream, db.emit_stream_dev, db.emit_step_dev, **kw
+            q, db.stream.T, db.emit_stream_dev, db.emit_step_dev, **kw
         )
 
     def _finish_loaded(self, dev_scores, query, db: LoadedDatabase, t0,

@@ -843,6 +843,43 @@ def sw_scores_stream_packed(
         "rows", "score_width",
     ),
 )
+def sw_scores_stream_kernel_layout(
+    qk: jnp.ndarray,
+    streamT: jnp.ndarray,
+    emit_stream: jnp.ndarray,
+    emit_step: jnp.ndarray,
+    penalties: Penalties = DEFAULT_PENALTIES,
+    interpret: bool = False,
+    segments: int = 1,
+    state_dtype: str = "int32",
+    tail_acc: bool = True,
+    rows: int = 1,
+    score_width=None,
+) -> jnp.ndarray:
+    """sw_scores_stream on PRE-LAID-OUT inputs: qk [128, S_phys]
+    (``_q_kernel_layout``) and streamT [T, N] (the stream transposed).
+    For device-resident databases the [T, N] stream lives in HBM across
+    queries, so per-query calls skip the full-stream relayout entirely —
+    only the ~64 KB query register moves per job."""
+    ma, mi, go, ge = penalties.astuple()
+    strip = _strip_call(
+        qk, streamT, ma, mi, go, ge, interpret, seg=segments,
+        state_dtype=state_dtype, tail_acc=tail_acc, rows=rows,
+        score_width=score_width,
+    )  # [T, N]
+    live = emit_step >= 0
+    safe_step = jnp.where(live, emit_step, 0)
+    scores = strip[safe_step, emit_stream]
+    return jnp.where(live, scores, 0).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "penalties", "interpret", "segments", "state_dtype", "tail_acc",
+        "rows", "score_width",
+    ),
+)
 def sw_scores_stream(
     q: jnp.ndarray,
     stream: jnp.ndarray,
