@@ -6,9 +6,10 @@ The TPU-native replacement of the reference's C host program
 whole databases (the ScoreBank workload) instead of one pair:
 
     swtpu score  -q query.fa -l library.fa [-o out.txt] [--topk K]
+    swtpu serve  -l library.fa                      # stdin daemon (SEQ/TOP/QUIT)
     swtpu oracle -q query.fa -l library.fa          # numpy oracle (no JAX)
     swtpu generate -n 100 -L 128 -o data.fa         # random FASTA (data/generate.py)
-    swtpu bench  [--sizes ...]
+    swtpu diff / events / regress / bench           # goldens, logs, suites
 
 Output format matches the RTL testbench's golden lines
 (``@<time>ns: >dbK score: S``, ScoreBank/ScoreBank_v1_tb.sv:280-282) so

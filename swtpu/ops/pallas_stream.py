@@ -682,10 +682,11 @@ def _to_kernel_layout(q, stream, segments, rows=1):
     return _q_kernel_layout(q, segments, rows), stream.T
 
 
-def _validate(
-    q, stream, segments, interpret, rows=1, state_dtype="int32",
+def _validate_config(
+    segments, interpret, rows=1, state_dtype="int32",
     score_width=None, penalties=DEFAULT_PENALTIES,
 ):
+    """Shape-independent contract checks shared by every kernel entry."""
     if score_width is not None:
         if state_dtype != "int32":
             # & and sign-bit tests are integer ops; f32 lanes can't wrap
@@ -704,8 +705,6 @@ def _validate(
                 f"score_width={score_width} too narrow for penalties "
                 f"(need 2^(W-1) >= |open+extend| + |extend|)"
             )
-    N, qcap = q.shape
-    T = stream.shape[1]
     if LANES % segments or segments > 8:
         # the (8, S) tail-accumulator scratch holds one row per segment
         raise ValueError(f"segments {segments} must divide {LANES} and be <= 8")
@@ -725,6 +724,44 @@ def _validate(
         raise ValueError(
             f"sublane rows {LANES//rows} must divide by segments {segments}"
         )
+
+
+def _validate_kernel_layout(
+    qk, streamT, segments, interpret, rows=1, state_dtype="int32",
+    score_width=None, penalties=DEFAULT_PENALTIES,
+):
+    """Contract checks for pre-laid-out inputs (qk [128, S_phys],
+    streamT [T, seg*S_phys])."""
+    _validate_config(
+        segments, interpret, rows, state_dtype, score_width, penalties
+    )
+    if qk.shape[0] != LANES:
+        raise ValueError(f"kernel q must have {LANES} rows, got {qk.shape}")
+    S_phys = qk.shape[1]
+    if streamT.shape[1] != segments * S_phys:
+        raise ValueError(
+            f"streamT width {streamT.shape[1]} != segments*S_phys "
+            f"({segments}*{S_phys})"
+        )
+    if streamT.shape[0] % STEP_CHUNK:
+        raise ValueError(
+            f"stream length {streamT.shape[0]} not a multiple of {STEP_CHUNK}"
+        )
+    if S_phys % 128 and not interpret:
+        raise ValueError(
+            f"physical streams {S_phys} must be a multiple of 128 (lane dim)"
+        )
+
+
+def _validate(
+    q, stream, segments, interpret, rows=1, state_dtype="int32",
+    score_width=None, penalties=DEFAULT_PENALTIES,
+):
+    _validate_config(
+        segments, interpret, rows, state_dtype, score_width, penalties
+    )
+    N, qcap = q.shape
+    T = stream.shape[1]
     if qcap != LANES // segments:
         raise ValueError(
             f"q width {qcap} != {LANES}//segments ({LANES // segments})"
@@ -862,11 +899,23 @@ def sw_scores_stream_kernel_layout(
     queries, so per-query calls skip the full-stream relayout entirely —
     only the ~64 KB query register moves per job."""
     ma, mi, go, ge = penalties.astuple()
+    _validate_kernel_layout(
+        qk, streamT, segments, interpret, rows, state_dtype,
+        score_width, penalties,
+    )
     strip = _strip_call(
         qk, streamT, ma, mi, go, ge, interpret, seg=segments,
         state_dtype=state_dtype, tail_acc=tail_acc, rows=rows,
         score_width=score_width,
     )  # [T, N]
+    return _gather_emissions(strip, emit_stream, emit_step)
+
+
+def _gather_emissions(strip, emit_stream, emit_step):
+    """[T, N] strip -> per-read scores (emit_step < 0 = zero-length read).
+    The ONE emission-gather implementation every scoring entry shares
+    (traced inline — no nested jit, so compiled-executable cache keys are
+    unchanged)."""
     live = emit_step >= 0
     safe_step = jnp.where(live, emit_step, 0)
     scores = strip[safe_step, emit_stream]
@@ -914,7 +963,4 @@ def sw_scores_stream(
         state_dtype=state_dtype, tail_acc=tail_acc, rows=rows,
         score_width=score_width,
     )  # [T, N]
-    live = emit_step >= 0
-    safe_step = jnp.where(live, emit_step, 0)
-    scores = strip[safe_step, emit_stream]
-    return jnp.where(live, scores, 0).astype(jnp.int32)
+    return _gather_emissions(strip, emit_stream, emit_step)

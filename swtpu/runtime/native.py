@@ -42,14 +42,30 @@ def _build() -> Optional[ctypes.CDLL]:
 
 
 def _get_lib() -> Optional[ctypes.CDLL]:
-    global _lib
+    global _lib, _build_failed
     if _lib is not None or _build_failed:
         return _lib
     with _lock:
         if _lib is None and not _build_failed:
             lib = _build()
             if lib is not None:
-                _declare(lib)
+                try:
+                    _declare(lib)
+                except AttributeError:
+                    # a stale prebuilt .so missing a newer symbol (e.g.
+                    # synced with preserved mtimes): rebuild once, else
+                    # fall back to numpy everywhere rather than crash
+                    try:
+                        _LIB.unlink()
+                    except OSError:
+                        pass
+                    lib = _build()
+                    if lib is not None:
+                        try:
+                            _declare(lib)
+                        except AttributeError:
+                            lib = None
+                            _build_failed = True
             _lib = lib
     return _lib
 

@@ -212,9 +212,10 @@ def test_sharded_stream_topk_tie_consistency(mesh):
     assert got == host
 
 
-def test_local_topk_two_level_exact(mesh):
+def test_local_topk_two_level_exact():
     """The two-level per-shard top-k (large-R path) is exact, including
-    (score desc, id asc) tie preference, against a numpy reference."""
+    (score desc, id asc) tie preference, against a numpy reference —
+    mesh-free, so it runs in the single-chip TPU suite too."""
     import jax.numpy as jnp
 
     from swtpu.parallel.sharded import _local_topk
@@ -229,7 +230,11 @@ def test_local_topk_two_level_exact(mesh):
             order = np.lexsort((ids, -s))[:kk]
             np.testing.assert_array_equal(np.asarray(fs), s[order])
             np.testing.assert_array_equal(np.asarray(fids), ids[order])
-    # and R > 512 through the full collective merge
+
+
+def test_local_topk_large_r_collective(mesh):
+    """R > 512 through the full collective merge on the 8-device mesh."""
+    rng = np.random.default_rng(78)
     B, m, n = 8 * 1280, 8, 8
     q = np.tile(rng.integers(0, 4, size=(1, m)).astype(np.int8), (B, 1))
     t = np.tile(rng.integers(0, 4, size=(1, n)).astype(np.int8), (B, 1))
