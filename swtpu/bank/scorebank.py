@@ -84,10 +84,6 @@ class LoadedDatabase:
     rows: int
     k_max: int  # query-tile capacity the stream was drain-padded for
     segments: int = 1  # queries per lane column (short-query occupancy)
-    # lazily-cached [N, T] orientation for the (rarer) long-query class —
-    # materialized once on device at the first >128-base dispatch instead
-    # of re-transposing the resident stream per call
-    _logical: object = None
 
 
 class ScoreBank:
@@ -446,7 +442,7 @@ class ScoreBank:
         from swtpu.ops.common import Q_PAD
         from swtpu.ops.pallas_stream import (
             _q_kernel_layout, sw_scores_stream_kernel_layout,
-            sw_scores_stream_long,
+            sw_scores_stream_long_kernel_layout,
         )
 
         query = np.asarray(query, np.int8)
@@ -485,14 +481,10 @@ class ScoreBank:
             )
         q = np.full((N, K * LANES), Q_PAD, np.int8)
         q[:, : len(query)] = query[None, :]
-        # the chained kernel consumes the logical [N, T] orientation:
-        # transpose once on device, cache on the database
-        if db._logical is None:
-            import jax.numpy as jnp
-
-            db._logical = jnp.asarray(db.stream).T.block_until_ready()
-        return sw_scores_stream_long(
-            q, db._logical, db.emit_stream_dev, db.emit_step_dev, **kw
+        # the chained kernel consumes the resident [T, N] layout directly —
+        # no per-call relayout, no second HBM copy
+        return sw_scores_stream_long_kernel_layout(
+            q, db.stream, db.emit_stream_dev, db.emit_step_dev, **kw
         )
 
     def _finish_loaded(self, dev_scores, query, db: LoadedDatabase, t0,

@@ -510,16 +510,62 @@ def sw_scores_stream_long(
 
     Returns [n_reads] int32 scores.
     """
+    _validate_long(q, stream.shape[1], rows, state_dtype, interpret,
+                   penalties, n_streams=q.shape[0])
+    return _long_impl(
+        q, stream.T, emit_stream, emit_step, penalties, interpret,
+        state_dtype, rows,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("penalties", "interpret", "state_dtype", "rows"),
+)
+def sw_scores_stream_long_kernel_layout(
+    q: jnp.ndarray,
+    streamT: jnp.ndarray,
+    emit_stream: jnp.ndarray,
+    emit_step: jnp.ndarray,
+    penalties: Penalties = DEFAULT_PENALTIES,
+    interpret: bool = False,
+    state_dtype: str = "int32",
+    rows: int = 16,
+) -> jnp.ndarray:
+    """sw_scores_stream_long on a PRE-TRANSPOSED [T, N] stream — the
+    resident layout of loaded databases, so long-query serving dispatches
+    carry no stream relayout at all (the query register is laid out
+    per-tile inside as usual)."""
+    _validate_long(q, streamT.shape[0], rows, state_dtype, interpret,
+                   penalties, n_streams=streamT.shape[1])
+    return _long_impl(
+        q, streamT, emit_stream, emit_step, penalties, interpret,
+        state_dtype, rows,
+    )
+
+
+def _validate_long(q, T, rows, state_dtype, interpret, penalties, n_streams):
+    _validate_config(
+        1, interpret, rows, state_dtype, None, penalties
+    )
+    if q.shape[1] % LANES:
+        raise ValueError(f"q width {q.shape[1]} must be a multiple of {LANES}")
+    if T % STEP_CHUNK:
+        raise ValueError(f"stream length {T} not a multiple of {STEP_CHUNK}")
+    if n_streams % 128 and not interpret:
+        raise ValueError(
+            f"physical streams {n_streams} must be a multiple of 128 (lane dim)"
+        )
+
+
+def _long_impl(q, sk, emit_stream, emit_step, penalties, interpret,
+               state_dtype, rows):
+    """Shared chained-tile body; sk is the kernel-layout [T, N] stream."""
     ma, mi, go, ge = penalties.astuple()
-    N, qlen = q.shape
-    if qlen % LANES:
-        raise ValueError(f"q width {qlen} must be a multiple of {LANES}")
-    if rows not in (1, 2, 4, 8, 16):
-        raise ValueError(f"rows {rows} must be one of 1/2/4/8/16")
-    K = qlen // LANES
+    N = q.shape[0]
+    K = q.shape[1] // LANES
     SL = LANES // rows
-    T = stream.shape[1]
-    sk = stream.T  # [T, N]
+    T = sk.shape[0]
     # per-tile kernel-layout queries, stacked for the scan
     qks = jnp.stack(
         [
@@ -548,11 +594,8 @@ def sw_scores_stream_long(
     (_, _, _, acc_last), _ = jax.lax.scan(
         tile, (zeros, zeros, zeros, zeros), qks
     )
-    strip = acc_last.T  # [N, T], final tile's accumulator strip
-    live = emit_step >= 0
-    safe_step = jnp.where(live, emit_step, 0)
-    scores = strip[emit_stream, safe_step]
-    return jnp.where(live, scores, 0).astype(jnp.int32)
+    # acc_last is already [T, N] — the shared gather needs no transpose
+    return _gather_emissions(acc_last, emit_stream, emit_step)
 
 
 @functools.partial(

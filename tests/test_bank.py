@@ -270,7 +270,9 @@ def test_loaded_database_multi_query():
     targets[4] = np.zeros((0,), np.int8)  # zero-length read scores 0
     bank = ScoreBank(backend="stream", interpret=True)
     db = bank.load_database(targets, max_query_len=300)
-    for qlen in (16, 100, 290):
+    # two long queries in a row exercise repeated chained dispatch on
+    # the resident [T, N] stream (no per-call relayout)
+    for qlen in (16, 100, 290, 260):
         query = rng.integers(0, 4, size=qlen).astype(np.int8)
         want = score_many_vs_one(query, targets)
         res = bank.score_loaded(query, db)
