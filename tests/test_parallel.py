@@ -262,3 +262,27 @@ def test_multihost_api_long_query(mesh):
     np.testing.assert_array_equal(local, want)
     for s, i in zip(top_s, top_ids):
         assert want[i] == s
+
+
+def test_multihost_stream_steps_pinning(mesh):
+    """stream_steps pins the packed stream length (the cross-host shape
+    agreement knob for ragged workloads): scores unchanged, and an
+    undersized pin fails loudly."""
+    from swtpu.oracle import score_many_vs_one
+    from swtpu.parallel.multihost import score_database_multihost
+
+    rng = np.random.default_rng(7)
+    targets = [rng.integers(0, 4, size=rng.integers(4, 40)).astype(np.int8)
+               for _ in range(16)]
+    query = rng.integers(0, 4, size=20).astype(np.int8)
+    want = score_many_vs_one(query, targets)
+    _, _, local = score_database_multihost(
+        query, targets, np.arange(16, dtype=np.int32), mesh=mesh, k=3,
+        stream_steps=512,
+    )
+    np.testing.assert_array_equal(local, want)
+    with pytest.raises(ValueError, match="stream_steps"):
+        score_database_multihost(
+            query, targets, np.arange(16, dtype=np.int32), mesh=mesh, k=3,
+            stream_steps=32,
+        )
