@@ -405,6 +405,10 @@ class ScoreBank:
         else:
             batch = pack(targets, None)
             t_lens = np.fromiter((len(t) for t in targets), np.int64)
+        # the probe query makes batch.cells meaningless (its length is a
+        # layout placeholder, not a real query); real cell accounting lives
+        # in _finish_loaded, which scales total_chars by the served query
+        batch.cells = 0
         if self.verify_integrity:
             from swtpu.utils.guards import check_stream_batch
 
@@ -488,7 +492,7 @@ class ScoreBank:
         )
 
     def _finish_loaded(self, dev_scores, query, db: LoadedDatabase, t0,
-                       elapsed_override=None):
+                       elapsed_override=None, event_log=None, kind="loaded"):
         from swtpu.bank.streams import LANES
 
         scores = np.asarray(dev_scores)
@@ -512,16 +516,34 @@ class ScoreBank:
             elapsed_override if elapsed_override is not None
             else time.perf_counter() - t0
         )
+        if event_log is not None:
+            # per-query serving record (the per-alignment cycle accounting,
+            # afu.v:497-532) so `swtpu events` can summarize serve sessions
+            from swtpu.utils import BatchEvent
+
+            event_log.emit(
+                BatchEvent(
+                    kind, t_wall=time.time(), elapsed_s=elapsed,
+                    reads=db.n_reads, cells=cells, padded_cells=padded,
+                    note=f"qlen={len(query)} resident_reads={db.n_reads}",
+                )
+            )
         return ScoreResult(scores, cells, padded, elapsed)
 
-    def score_loaded(self, query: np.ndarray, db: LoadedDatabase) -> ScoreResult:
+    def score_loaded(
+        self, query: np.ndarray, db: LoadedDatabase, event_log=None
+    ) -> ScoreResult:
         """Score `query` against a device-resident database: only the query
         register crosses H2D; the packed streams never leave HBM."""
         t0 = time.perf_counter()
-        return self._finish_loaded(self._dispatch_loaded(query, db), query, db, t0)
+        return self._finish_loaded(
+            self._dispatch_loaded(query, db), query, db, t0,
+            event_log=event_log,
+        )
 
     def score_loaded_many(
-        self, queries: Sequence[np.ndarray], db: LoadedDatabase
+        self, queries: Sequence[np.ndarray], db: LoadedDatabase,
+        event_log=None,
     ) -> List[ScoreResult]:
         """Score a batch of queries against one loaded database with
         pipelined dispatch: every query's kernel is enqueued before any
@@ -538,12 +560,16 @@ class ScoreBank:
             np.asarray(d)  # materialize in dispatch order
         share = (time.perf_counter() - t0) / max(len(queries), 1)
         return [
-            self._finish_loaded(d, q, db, t0, elapsed_override=share)
+            self._finish_loaded(
+                d, q, db, t0, elapsed_override=share, event_log=event_log,
+                kind="loaded_many",
+            )
             for d, q in zip(devs, queries)
         ]
 
     def topk_loaded(
-        self, query: np.ndarray, db: LoadedDatabase, k: int = 10
+        self, query: np.ndarray, db: LoadedDatabase, k: int = 10,
+        event_log=None,
     ) -> List[tuple]:
         """Best-hit reporting straight off the device: the top-K cut runs
         on-chip (two-level O(n) pass) and only 2k scalars cross D2H —
@@ -553,10 +579,24 @@ class ScoreBank:
 
         from swtpu.parallel.sharded import local_topk_jit
 
+        t0 = time.perf_counter()
         dev = self._dispatch_loaded(query, db)
         ids = jnp.arange(db.n_reads, dtype=jnp.int32)
         fs, fids = local_topk_jit(dev, ids, min(k, db.n_reads))
         fs, fids = np.asarray(fs), np.asarray(fids)
+        if event_log is not None:
+            from swtpu.utils import BatchEvent
+
+            event_log.emit(
+                BatchEvent(
+                    "loaded_topk", t_wall=time.time(),
+                    elapsed_s=time.perf_counter() - t0,
+                    reads=db.n_reads,
+                    cells=int(len(query)) * db.total_chars,
+                    padded_cells=0,
+                    note=f"qlen={len(query)} k={k}",
+                )
+            )
         return [(int(s), int(i)) for s, i in zip(fs, fids)]
 
     def _score_pairs_stream_mixed(

@@ -33,6 +33,8 @@ def _load(query_path: str, library_path: str):
     from swtpu.io.loader import EncodedDB, load_encoded
 
     qdb = load_encoded(query_path)
+    if not qdb.names:
+        raise SystemExit(f"query file has no records: {query_path}")
     qidx = [i for i, nm in enumerate(qdb.names) if nm.startswith("query")] or [0]
     query = qdb.read(qidx[0]).copy()
     lib = load_encoded(library_path)
@@ -59,6 +61,8 @@ def _load_all_queries(query_path: str):
     from swtpu.io.loader import load_encoded
 
     qdb = load_encoded(query_path)
+    if not qdb.names:
+        raise SystemExit(f"query file has no records: {query_path}")
     return [(qdb.names[i], qdb.read(i).copy()) for i in range(len(qdb.names))]
 
 
@@ -268,6 +272,11 @@ def cmd_serve(args) -> int:
     names, targets = _split_lib(load_encoded(args.library))
     cfg = SWConfig(penalties=pen)
     bank = ScoreBank(cfg, backend=args.backend)
+    event_log = None
+    if getattr(args, "events", None):
+        from swtpu.utils import EventLog
+
+        event_log = EventLog(args.events)
     use_loaded = bank.backend == "stream"
     db = None
     if use_loaded:
@@ -296,8 +305,9 @@ def cmd_serve(args) -> int:
                 if cmd == "SEQ":
                     q = encode_seq(rest.strip())
                     res = (
-                        bank.score_loaded(q, db) if use_loaded
-                        else bank.score_database(q, targets)
+                        bank.score_loaded(q, db, event_log=event_log)
+                        if use_loaded
+                        else bank.score_database(q, targets, event_log=event_log)
                     )
                     _emit(sys.stdout, names, res.scores, t_start)
                     sys.stdout.flush()
@@ -305,8 +315,11 @@ def cmd_serve(args) -> int:
                     k_str, seq = rest.split(None, 1)
                     q = encode_seq(seq.strip())
                     top = (
-                        bank.topk_loaded(q, db, k=int(k_str)) if use_loaded
-                        else bank.score_database(q, targets).top_k(int(k_str))
+                        bank.topk_loaded(q, db, k=int(k_str), event_log=event_log)
+                        if use_loaded
+                        else bank.score_database(
+                            q, targets, event_log=event_log
+                        ).top_k(int(k_str))
                     )
                     for s, i in top:
                         print(f"# top: >{names[i]} score: {s}")
@@ -320,6 +333,8 @@ def cmd_serve(args) -> int:
     finally:
         if args.input:
             inp.close()
+        if event_log is not None:
+            event_log.close()
     print(f"# served {served} queries", file=sys.stderr)
     return 0
 
@@ -507,6 +522,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     pv.add_argument(
         "--max-query-len", dest="max_query_len", type=int, default=512,
         help="query-tile capacity the resident database is packed for",
+    )
+    pv.add_argument(
+        "--events", help="write per-query JSONL event log here "
+        "(summarize with `swtpu events`)",
     )
     _add_pen_args(pv)
     pv.set_defaults(fn=cmd_serve)

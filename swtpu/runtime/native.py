@@ -222,6 +222,11 @@ class NativePacker:
         — the per-dispatch hot path of the 2.5-bit/char transfer format."""
         stream = np.ascontiguousarray(stream, np.int8)
         N, T = stream.shape
+        if T % 8:
+            # codes/flags widths are integer divisions — a stray T would
+            # silently drop the stream tail (callers pre-pad to STEP_CHUNK,
+            # but direct use must fail loudly)
+            raise ValueError(f"stream length {T} must be a multiple of 8")
         codes = np.empty((N, T // 4), np.uint8)
         flags = np.empty((N, T // 8), np.uint8)
         self._lib.swtpu_pack_wire(

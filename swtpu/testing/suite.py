@@ -51,6 +51,7 @@ class TestOutcome:
     dataset: int
     passed: bool
     detail: str = ""
+    skipped: bool = False  # listed in the suite but not runnable here
 
 
 def _gen_dataset(rng, spec):
@@ -193,7 +194,18 @@ def run_suite(
             ok = all(want[i] == s for s, i in top) and top[0][0] == want.max()
             record("topk_merge", ok)
 
-    if cfg.get("multihost", {}).get("enabled"):
+    if not cfg.get("multihost", {}).get("enabled"):
+        # a listed test that cannot run here must say so — no silently
+        # skipped names in a suite report (round-4 verdict)
+        for name in ("multihost", "lying_device"):
+            if name == "multihost" or name in cfg["tests"]:
+                outcomes.append(
+                    TestOutcome(
+                        name, -1, True,
+                        "multihost disabled in this suite", skipped=True,
+                    )
+                )
+    else:
         from swtpu.testing.regress import run_multihost
 
         nprocs = cfg["multihost"]["nprocs"]
@@ -229,10 +241,16 @@ def run_suite(
 def main_cli(suite_path: Optional[str]) -> int:
     t0 = time.time()
     outcomes = run_suite(suite_path)
-    failed = [o for o in outcomes if not o.passed]
+    failed = [o for o in outcomes if not o.passed and not o.skipped]
+    skipped = [o for o in outcomes if o.skipped]
     for o in outcomes:
-        status = "PASS" if o.passed else "FAIL"
+        status = "SKIP" if o.skipped else ("PASS" if o.passed else "FAIL")
         extra = f"  ({o.detail})" if o.detail else ""
         print(f"{status} ds{o.dataset} {o.name}{extra}")
-    print(f"# {len(outcomes)-len(failed)}/{len(outcomes)} passed in {time.time()-t0:.1f}s")
+    ran = len(outcomes) - len(skipped)
+    skip_note = f", {len(skipped)} skipped" if skipped else ""
+    print(
+        f"# {ran - len(failed)}/{ran} passed{skip_note} in "
+        f"{time.time()-t0:.1f}s"
+    )
     return 1 if failed else 0

@@ -234,3 +234,74 @@ def test_serve_stream_loaded(tmp_path, capsys):
     assert scores == list(want)
     top_lines = [l for l in out.splitlines() if l.startswith("# top:")]
     assert len(top_lines) == 3 and f"score: {max(want)}" in top_lines[0]
+
+
+def test_serve_events_log(tmp_path, capsys):
+    """--events on `swtpu serve` records one event per served query on the
+    loaded-database path (SEQ -> 'loaded', TOP -> 'loaded_topk') and the
+    `events` summarizer reads the session back (round-4 verdict: the
+    serving workload must be visible to observability)."""
+    from swtpu.io.encode import CODE_BASES
+    from swtpu.utils import EventLog
+
+    lib = tmp_path / "lib.fa"
+    main(["generate", "-n", "5", "-L", "30", "-o", str(lib), "--seed", "17"])
+    rng = np.random.default_rng(18)
+    seq = "".join(CODE_BASES[int(c)] for c in rng.integers(0, 4, size=20))
+    cmds = tmp_path / "s.txt"
+    cmds.write_text(f"SEQ {seq}\nTOP 3 {seq}\nSEQ {seq}\n")
+    log = tmp_path / "serve_events.jsonl"
+    assert main(["serve", "-l", str(lib), "--input", str(cmds),
+                 "--backend", "stream", "--events", str(log)]) == 0
+    events = EventLog.parse(log)
+    assert [e.kind for e in events] == ["loaded", "loaded_topk", "loaded"]
+    assert all(e.reads == 4 for e in events)  # 4 db reads resident
+    assert all(e.cells == 20 * sum(
+        len(s) for s in ["x" * 30] * 4
+    ) for e in events)  # qlen * total_chars
+    capsys.readouterr()
+    assert main(["events", str(log)]) == 0
+    summary = capsys.readouterr().out
+    assert "loaded_topk" in summary and "# total: 3 events" in summary
+
+
+def test_score_empty_query_file_exits_cleanly(tmp_path):
+    """A query FASTA with zero records is a clean CLI error, not a bare
+    ValueError from max() (round-4 advisor)."""
+    import pytest
+
+    lib = tmp_path / "lib.fa"
+    main(["generate", "-n", "4", "-L", "16", "-o", str(lib), "--seed", "9"])
+    empty = tmp_path / "empty.fa"
+    empty.write_text("")
+    with pytest.raises(SystemExit, match="no records"):
+        main(["score", "-q", str(empty), "-l", str(lib)])
+    with pytest.raises(SystemExit, match="no records"):
+        main(["score", "-q", str(empty), "-l", str(lib), "--all-queries",
+              "--backend", "scan"])
+
+
+def test_regress_default_suite_reports_skips(capsys):
+    """The default suite lists lying_device but cannot run it (multihost
+    disabled): the report must say SKIP, never silently omit the name."""
+    from swtpu.testing.suite import main_cli, run_suite
+
+    outcomes = run_suite({
+        "datasets": [{"reads": 6, "min_len": 4, "max_len": 12, "query_len": 8}],
+        "tests": ["oracle_parity", "lying_device"],
+    })
+    skipped = [o for o in outcomes if o.skipped]
+    assert {o.name for o in skipped} == {"multihost", "lying_device"}
+    assert all(o.passed for o in outcomes if not o.skipped)
+    # the CLI printer marks them SKIP and excludes them from the pass count
+    from swtpu.testing import suite as suite_mod
+
+    orig = suite_mod.run_suite
+    try:
+        suite_mod.run_suite = lambda _p: outcomes
+        assert main_cli(None) == 0
+    finally:
+        suite_mod.run_suite = orig
+    out = capsys.readouterr().out
+    assert "SKIP ds-1 lying_device" in out
+    assert "2 skipped" in out
