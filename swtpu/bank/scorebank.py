@@ -599,6 +599,41 @@ class ScoreBank:
             )
         return [(int(s), int(i)) for s, i in zip(fs, fids)]
 
+    def load_database_sharded(
+        self, targets, mesh, max_query_len: int = 128, axis: str = "data"
+    ):
+        """Mesh-wide :meth:`load_database`: per-device resident stream
+        shards (the reference's per-module resident feeders,
+        ScoreBank_v2.v:77-139) serving any query with one shard_map
+        dispatch.  See swtpu.bank.serving."""
+        from swtpu.bank.serving import load_database_sharded
+
+        return load_database_sharded(
+            self, targets, mesh, max_query_len=max_query_len, axis=axis
+        )
+
+    def score_loaded_sharded(self, query, db, event_log=None) -> ScoreResult:
+        """Score one query against a mesh-resident database (full read-order
+        score vector; the query register broadcasts, `ld_q` v2.v:99-102)."""
+        from swtpu.bank.serving import score_loaded_sharded
+
+        return score_loaded_sharded(self, query, db, event_log=event_log)
+
+    def score_loaded_many_sharded(
+        self, queries, db, event_log=None
+    ) -> List[ScoreResult]:
+        """Pipelined many-query serving over the mesh."""
+        from swtpu.bank.serving import score_loaded_many_sharded
+
+        return score_loaded_many_sharded(self, queries, db, event_log=event_log)
+
+    def topk_loaded_sharded(self, query, db, k: int = 10, event_log=None):
+        """Mesh-wide best hits: per-shard cut + collective merge; only 2k
+        scalars cross D2H (the `max`/`vld_max` intent at the MODULES axis)."""
+        from swtpu.bank.serving import topk_loaded_sharded
+
+        return topk_loaded_sharded(self, query, db, k=k, event_log=event_log)
+
     def _score_pairs_stream_mixed(
         self,
         queries: Sequence[np.ndarray],
