@@ -455,17 +455,43 @@ def pack_streams_sharded(
     """Deal reads round-robin to `n_shards` device shards and pack each with
     :func:`pack_streams` (or :func:`pack_streams_long` for queries past one
     128-row tile — the sharded form of the chained-tile path); pad stream
-    length and read count to shard maxima."""
-    groups = [list(range(d, len(targets), n_shards)) for d in range(n_shards)]
+    length and read count to shard maxima.
+
+    targets: a sequence of 1-D code arrays, or the dense EncodedDB /
+    (mat, lens) form — dense shards slice the matrix round-robin and take
+    the native plan/fill path per shard (no per-read Python objects)."""
+    from swtpu.bank.scorebank import _dense_form
+
+    tmat, tlens = _dense_form(targets)
+    n_reads = len(tlens) if tlens is not None else len(targets)
+    groups = [list(range(d, n_reads, n_shards)) for d in range(n_shards)]
     if len(query) > LANES // segments:
         if segments != 1:
             raise ValueError("long queries require segments=1")
+        if tlens is not None:
+            batches = [
+                pack_streams_long(
+                    query, tmat[d::n_shards], n_streams=n_streams,
+                    rows=rows, lens=np.asarray(tlens)[d::n_shards],
+                )
+                for d in range(n_shards)
+            ]
+        else:
+            batches = [
+                pack_streams_long(
+                    query, [targets[i] for i in g], n_streams=n_streams,
+                    rows=rows,
+                )
+                for g in groups
+            ]
+    elif tlens is not None:
         batches = [
-            pack_streams_long(
-                query, [targets[i] for i in g], n_streams=n_streams,
-                rows=rows,
+            pack_streams(
+                query, tmat[d::n_shards], n_streams=n_streams,
+                segments=segments, rows=rows,
+                lens=np.asarray(tlens)[d::n_shards],
             )
-            for g in groups
+            for d in range(n_shards)
         ]
     else:
         batches = [

@@ -54,6 +54,7 @@ def run_multihost(
     audit_rows: int = 4,
     mode: str = "pairs",
     lens: Optional[np.ndarray] = None,
+    shard_bounds: Optional[List] = None,
 ) -> MultihostResult:
     """Score (q, t) across `nprocs` localhost processes; returns merged,
     cross-checked results.  If kill_worker is set, that worker is SIGKILLed
@@ -71,9 +72,16 @@ def run_multihost(
     it — via the checksum cross-check (guards.checksum, the odd-parity
     analog), the algebraic score-bound check, or an independent oracle
     audit of `audit_rows` sample rows per shard — and recover by re-scoring
-    the bad shard itself (shard-rerun recovery, SURVEY.md §5)."""
+    the bad shard itself (shard-rerun recovery, SURVEY.md §5).
+
+    shard_bounds: optional explicit [(lo, hi), ...] per process for RAGGED
+    shard sizes (database mode; the stream path auto-negotiates the
+    cross-host geometry).  Default: equal split."""
     B = t.shape[0]
-    assert B % nprocs == 0
+    if shard_bounds is None:
+        assert B % nprocs == 0
+    else:
+        assert len(shard_bounds) == nprocs and shard_bounds[-1][1] == B
     if lens is None:
         lens = np.full(B, t.shape[1], np.int32)
     # audit view: in database mode every row pairs the one query (tiled;
@@ -102,6 +110,9 @@ def run_multihost(
                 ]
                 if adversary_worker == pid:
                     cmd += ["--adversary", adversary_mode]
+                if shard_bounds is not None:
+                    cmd += ["--lo", str(shard_bounds[pid][0]),
+                            "--hi", str(shard_bounds[pid][1])]
                 procs.append(subprocess.Popen(cmd, env=env, cwd=str(Path(__file__).parents[2])))
             do_kill = kill_worker is not None and attempt == 1
             if do_kill:

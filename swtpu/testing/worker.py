@@ -24,6 +24,12 @@ def main(argv=None) -> int:
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--topk", type=int, default=4)
+    ap.add_argument(
+        "--lo", type=int, default=-1,
+        help="explicit shard row range [lo, hi) — ragged shard sizes "
+        "(database mode; default: equal split)",
+    )
+    ap.add_argument("--hi", type=int, default=-1)
     ap.add_argument("--delay-ms", type=int, default=0, help="injected startup delay")
     ap.add_argument(
         "--adversary", default="",
@@ -61,9 +67,15 @@ def main(argv=None) -> int:
     q, t, ids = data["q"], data["t"], data["ids"]
     B = t.shape[0]
     n_dev = len(jax.devices())
-    assert B % n_dev == 0, (B, n_dev)
-    shard_rows = B // args.nprocs
-    lo, hi = args.pid * shard_rows, (args.pid + 1) * shard_rows
+    if args.lo >= 0:
+        # ragged explicit shard (database mode): the stream path negotiates
+        # the cross-host (T, R) geometry itself, so unequal row counts are
+        # fine — this is the production ragged-shard scenario
+        lo, hi = args.lo, args.hi
+    else:
+        assert B % n_dev == 0, (B, n_dev)
+        shard_rows = B // args.nprocs
+        lo, hi = args.pid * shard_rows, (args.pid + 1) * shard_rows
 
     mesh = make_mesh()
     if mode == "database":
@@ -73,9 +85,11 @@ def main(argv=None) -> int:
         from swtpu.parallel.multihost import score_database_multihost
 
         lens = data["lens"]
-        local_targets = [t[i, : lens[i]] for i in range(lo, hi)]
+        # the dense (mat, lens) form end-to-end: per-shard packing takes
+        # the native plan/fill path, no per-read Python objects (round-4
+        # verdict: the 1->2 process efficiency gap was per-read re-slicing)
         top_s, top_ids, local_scores = score_database_multihost(
-            q, local_targets, ids[lo:hi], mesh=mesh, k=args.topk
+            q, (t[lo:hi], lens[lo:hi]), ids[lo:hi], mesh=mesh, k=args.topk
         )
         local_rows = np.arange(lo, hi)
     else:

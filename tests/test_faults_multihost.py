@@ -131,3 +131,37 @@ def test_lying_device_on_database_stream_path():
     )
     assert res.bad_shards == [0]
     np.testing.assert_array_equal(res.scores, want)
+
+
+@pytest.mark.multihost
+def test_ragged_shards_auto_negotiate_geometry():
+    """Round-5 (VERDICT #3): deliberately skewed shards — process 0 holds
+    10 short reads (4-8 nt), process 1 holds 5 long reads (150-200 nt) —
+    with NO stream_steps pin: score_database_multihost all-gathers the
+    (T, R) envelope across processes and pads, so ragged real-world shards
+    need no manual geometry negotiation (the full/ready backpressure
+    analog, ScoreBank_v2.v:163-165)."""
+    from swtpu.ops.common import T_PAD
+    from swtpu.testing.regress import run_multihost
+
+    rng = np.random.default_rng(6)
+    B, n = 15, 200
+    lens = np.concatenate([
+        rng.integers(4, 9, size=10), rng.integers(150, 201, size=5)
+    ]).astype(np.int32)
+    t = np.full((B, n), T_PAD, np.int8)
+    for i in range(B):
+        t[i, : lens[i]] = rng.integers(0, 4, size=lens[i]).astype(np.int8)
+    targets = [t[i, : lens[i]] for i in range(B)]
+    query = rng.integers(0, 4, size=20).astype(np.int8)
+    want = score_many_vs_one(query, targets)
+    ids = np.arange(B, dtype=np.int32)
+    res = run_multihost(
+        query, t, ids, nprocs=2, topk=4, mode="database", lens=lens,
+        shard_bounds=[(0, 10), (10, 15)],
+    )
+    np.testing.assert_array_equal(res.scores, want)
+    got = list(zip(res.top_s.tolist(), res.top_ids.tolist()))
+    host = sorted(zip(want.tolist(), (-ids).tolist()), reverse=True)[:4]
+    assert got == [(s, -negi) for s, negi in host]
+    assert res.attempts == 1

@@ -286,3 +286,44 @@ def test_multihost_stream_steps_pinning(mesh):
             query, targets, np.arange(16, dtype=np.int32), mesh=mesh, k=3,
             stream_steps=32,
         )
+
+
+def test_multihost_dense_form(mesh):
+    """The dense (mat, lens) / EncodedDB form flows through
+    score_database_multihost end-to-end (native per-shard packing) on both
+    the stream and scan backends, matching the per-read-list form."""
+    from swtpu.oracle import score_many_vs_one
+    from swtpu.parallel.multihost import score_database_multihost
+
+    rng = np.random.default_rng(8)
+    B, n = 24, 40
+    lens = rng.integers(4, n + 1, size=B).astype(np.int32)
+    mat = np.zeros((B, n), np.int8)
+    for i in range(B):
+        mat[i, : lens[i]] = rng.integers(0, 4, size=lens[i])
+    targets = [mat[i, : lens[i]] for i in range(B)]
+    query = rng.integers(0, 4, size=16).astype(np.int8)
+    want = score_many_vs_one(query, targets)
+    ids = np.arange(B, dtype=np.int32)
+    for backend in ("stream", "scan"):
+        top_s, top_ids, local = score_database_multihost(
+            query, (mat, lens), ids, mesh=mesh, k=4, backend=backend,
+        )
+        np.testing.assert_array_equal(local, want)
+        for s, i in zip(top_s, top_ids):
+            assert want[i] == s
+
+
+def test_multihost_stream_steps_chunk_validation(mesh):
+    """A stream_steps pin that is not a STEP_CHUNK multiple fails up front
+    with the contract named (round-4 advisor)."""
+    from swtpu.parallel.multihost import score_database_multihost
+
+    rng = np.random.default_rng(9)
+    targets = [rng.integers(0, 4, size=10).astype(np.int8) for _ in range(8)]
+    query = rng.integers(0, 4, size=8).astype(np.int8)
+    with pytest.raises(ValueError, match="multiple of"):
+        score_database_multihost(
+            query, targets, np.arange(8, dtype=np.int32), mesh=mesh,
+            stream_steps=100,
+        )
