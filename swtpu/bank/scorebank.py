@@ -212,16 +212,15 @@ class ScoreBank:
                 return self._score_database_stream(
                     query, targets, event_log, tmat=tmat, tlens=tlens
                 )
-            if self.config.score_width is None:
-                # longer queries chain 128-row wavefront tiles, carrying the
-                # tail-row D/G/H strips between tiles — the reference's
-                # reserved chaining-port intent (ScoringModule_v1.1.v:36-54)
-                # at the fast kernel's speed
-                return self._score_database_stream_long(
-                    query, targets, event_log, tmat=tmat, tlens=tlens
-                )
-            # biased long queries fall through to the bucketed dispatch
-            # (_score_batch routes the column kernel's chained biased tiles)
+            # longer queries chain 128-row wavefront tiles, carrying the
+            # tail-row D/G/H strips between tiles — the reference's
+            # reserved chaining-port intent (ScoringModule_v1.1.v:36-54)
+            # at the fast kernel's speed.  score_width composes: the
+            # chained tiles carry BIASED strips (round 5 — the PE is W-bit
+            # at every query length, SW_ProcessingElement_v1.0.v:15-20)
+            return self._score_database_stream_long(
+                query, targets, event_log, tmat=tmat, tlens=tlens
+            )
         t0 = time.perf_counter()
         batches = pack_many_vs_one(
             query,
@@ -291,21 +290,17 @@ class ScoreBank:
                 # many-vs-many at wavefront speed: per-stream query registers
                 # (the reference's per-module ld_q, ScoreBank_v2.v:99-102)
                 return self._score_pairs_stream(queries, targets, event_log)
-            if self.config.score_width is None:
-                # mixed-length pair sets stay on the wavefront too (round-3
-                # verdict: one 200-base query must not drop the whole set to
-                # the column path): short-query pairs ride the pair streams,
-                # and each distinct >128-base query's pairs chain query
-                # tiles through the long-query kernel — per-module ld_q
-                # (ScoreBank_v2.v:99-102) composed with the chaining ports
-                # (ScoringModule_v1.1.v:36-54)
-                return self._score_pairs_stream_mixed(
-                    queries, targets, event_log
-                )
-            # biased (score_width) long-query pairs fall through to the
-            # bucketed dispatch: the chained BIASED tiles live in the column
-            # kernel, and the stream long kernel must never silently score
-            # them exactly
+            # mixed-length pair sets stay on the wavefront too (round-3
+            # verdict: one 200-base query must not drop the whole set to
+            # the column path): short-query pairs ride the pair streams,
+            # and each distinct >128-base query's pairs chain query
+            # tiles through the long-query kernel — per-module ld_q
+            # (ScoreBank_v2.v:99-102) composed with the chaining ports
+            # (ScoringModule_v1.1.v:36-54).  score_width composes with the
+            # chain (biased boundary strips, round 5).
+            return self._score_pairs_stream_mixed(
+                queries, targets, event_log
+            )
         cfg = self.config
         t0 = time.perf_counter()
         n = len(queries)
@@ -471,11 +466,6 @@ class ScoreBank:
                 f"capacity {qcap} this database was loaded for — reload "
                 "with a larger max_query_len"
             )
-        if self.config.score_width is not None:
-            raise ValueError(
-                "score_width supports loaded queries to 128 bases "
-                "(chained biased tiles route the column path)"
-            )
         K = -(-len(query) // LANES)
         if K > db.k_max:
             raise ValueError(
@@ -486,9 +476,11 @@ class ScoreBank:
         q = np.full((N, K * LANES), Q_PAD, np.int8)
         q[:, : len(query)] = query[None, :]
         # the chained kernel consumes the resident [T, N] layout directly —
-        # no per-call relayout, no second HBM copy
+        # no per-call relayout, no second HBM copy (score_width composes:
+        # biased chained tiles, round 5)
         return sw_scores_stream_long_kernel_layout(
-            q, db.stream, db.emit_stream_dev, db.emit_step_dev, **kw
+            q, db.stream, db.emit_stream_dev, db.emit_step_dev,
+            score_width=self.config.score_width, **kw,
         )
 
     def _finish_loaded(self, dev_scores, query, db: LoadedDatabase, t0,
@@ -813,6 +805,7 @@ class ScoreBank:
                     batch.emit_stream, batch.emit_step.astype(np.int32),
                     self.config.penalties, interpret=self._interpret,
                     rows=rows, state_dtype=self._stream_dtype(),
+                    score_width=self.config.score_width,
                 )
             )
         else:
@@ -822,6 +815,7 @@ class ScoreBank:
                     batch.emit_stream, batch.emit_step.astype(np.int32),
                     self.config.penalties, interpret=self._interpret, rows=rows,
                     state_dtype=self._stream_dtype(),
+                    score_width=self.config.score_width,
                 )
             )
         if self.verify_integrity:

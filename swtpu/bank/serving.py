@@ -104,6 +104,7 @@ def make_sharded_loaded_scorer(
             s = sw_scores_stream_long_kernel_layout(
                 qk, streamT[0], es[0], ep[0], penalties=penalties,
                 interpret=interpret, rows=rows, state_dtype=state_dtype,
+                score_width=score_width,
             )
         else:
             s = sw_scores_stream_kernel_layout(
@@ -303,11 +304,6 @@ def _query_register(query: np.ndarray, db: ShardedLoadedDatabase):
             f"query of {len(query)} bases exceeds the segmented capacity "
             f"{qcap} this database was loaded for — reload with a larger "
             "max_query_len"
-        )
-    if db.score_width is not None:
-        raise ValueError(
-            "score_width supports loaded queries to 128 bases "
-            "(chained biased tiles route the column path)"
         )
     K = -(-len(query) // LANES)
     if K > db.k_max:

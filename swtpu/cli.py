@@ -112,18 +112,16 @@ def cmd_score(args) -> int:
     # capacity ladder: the stream backend's target axis is unbounded by
     # design (pallas_stream.py:32-35) — a 20-kb read sails through the
     # front door on TPU (the reference's TARGET_LENGTH cap,
-    # ScoreBank_v2.v:16, is NOT re-imposed voluntarily) — EXCEPT when
-    # wrap-parity routes a >128-base query through the bucketed column
-    # path, which still enforces it.  Either way the front door fails
-    # cleanly, never with a mid-run packer traceback.
-    ladder_applies = bank.backend != "stream" or (
-        cfg.score_width is not None and qlen_max > 128
-    )
+    # ScoreBank_v2.v:16, is NOT re-imposed voluntarily), and since round 5
+    # wrap-parity rides the chained stream tiles at every query length too.
+    # Bucketed backends still fail cleanly at the front door, never with a
+    # mid-run packer traceback.
+    ladder_applies = bank.backend != "stream"
     if ladder_applies and max_len > buckets[-1]:
         raise SystemExit(
             f"read length {max_len} exceeds bucket capacity {buckets[-1]} "
             f"for this configuration (raise --buckets, or use the stream "
-            "backend — without --score-width when queries exceed 128 bases)"
+            "backend)"
         )
     event_log = None
     if args.events:
@@ -203,12 +201,9 @@ def _score_all_queries(args, bank, names, targets, pairs, event_log=None) -> int
     .load_database) and each query ships only its register — the
     many-queries serving pattern; bucketed backends loop score_database."""
     t0 = time.perf_counter()
-    # score_width + any >128-base query routes the bucketed biased path;
-    # the loaded-database fast path serves the rest
-    use_loaded = bank.backend == "stream" and not (
-        bank.config.score_width is not None
-        and any(len(q) > 128 for _, q in pairs)
-    )
+    # the loaded-database fast path serves every stream-backend workload —
+    # incl. score_width at any query length (biased chained tiles, round 5)
+    use_loaded = bank.backend == "stream"
     if use_loaded:
         db = bank.load_database(
             targets, max_query_len=max(len(q) for _, q in pairs)

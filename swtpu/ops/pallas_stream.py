@@ -315,6 +315,7 @@ def _stream_kernel_mr_chained(
     q_ref, s_ref, bd_ref, bg_ref, bh_ref,
     out_ref, od_ref, og_ref, oh_ref,
     gp, d1p, d2p, hp, cp, ap, *, ma, mi, go, ge, R, dt=None,
+    biased_width=None,
 ):
     """Multi-row wavefront tile with query-tile chaining (segments=1 only).
 
@@ -336,19 +337,29 @@ def _stream_kernel_mr_chained(
     SL = LANES // R
     dt = dt or jnp.int32
     zero = jnp.array(0, dt)
+    if biased_width is not None:
+        # SCORE_WIDTH wrap-parity ACROSS query-tile chains: the state, the
+        # boundary strips, and the carry are all W-bit biased unsigned
+        # values; only the M update wraps (& mask) + sign-bit clamps, same
+        # proof as _stream_kernel / _stream_kernel_mr.  The inter-tile
+        # G/H/D hand-off is value-identical to the in-tile roll, so the
+        # chaining needs no extra wrap handling.
+        mask = jnp.array((1 << biased_width) - 1, dt)
+        zbit = jnp.array(1 << (biased_width - 1), dt)
+        zero = zbit
     c = pl.program_id(0)
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (SL, 1), 0)
     row0 = row_iota == 0
 
     @pl.when(c == 0)
     def _init():
-        z = jnp.zeros((LANES, S), dt)
+        z = jnp.full((LANES, S), zero, dt)
         gp[...] = z
         d1p[...] = z
-        d2p[...] = jnp.zeros((SL, S), dt)
-        hp[...] = jnp.zeros((SL, S), dt)
+        d2p[...] = jnp.full((SL, S), zero, dt)
+        hp[...] = jnp.full((SL, S), zero, dt)
         cp[...] = jnp.full((SL, S), 4, jnp.int32)
-        ap[...] = jnp.zeros(ap.shape, dt)
+        ap[...] = jnp.full(ap.shape, zero, dt)
 
     qs = [q_ref[r * SL : (r + 1) * SL, :].astype(jnp.int32) for r in range(R)]
     sc = s_ref[...].astype(jnp.int32)
@@ -378,7 +389,11 @@ def _stream_kernel_mr_chained(
             f0, zero,
             jnp.where(row0, bD[step : step + 1, :], pltpu.roll(D2L, 1, axis=0)),
         )
-        Mc = jnp.maximum(diag + s0, 0)
+        if biased_width is None:
+            Mc = jnp.maximum(diag + s0, 0)
+        else:
+            ms = (diag + s0) & mask  # the RTL's W-bit adder wrap
+            Mc = jnp.where((ms & zbit) != 0, ms, zbit)  # sign-bit clamp
         G_up = jnp.where(
             row0, bG[step : step + 1, :], pltpu.roll(G[R - 1], 1, axis=0)
         )
@@ -393,7 +408,11 @@ def _stream_kernel_mr_chained(
         for r in range(1, R):
             sr = jnp.where(cval == qs[r], ma, mi).astype(dt)
             diag_r = jnp.where(f0, zero, D[r - 1])
-            Mc = jnp.maximum(diag_r + sr, 0)
+            if biased_width is None:
+                Mc = jnp.maximum(diag_r + sr, 0)
+            else:
+                ms = (diag_r + sr) & mask
+                Mc = jnp.where((ms & zbit) != 0, ms, zbit)
             G_left = jnp.where(f0, zero, G[r])
             Ic = jnp.maximum(newG[r - 1], G_left) + gext
             Hcur = jnp.maximum(Hcur, Mc)
@@ -426,10 +445,11 @@ def _stream_kernel_mr_chained(
 
 def _strip_call_chained(
     qT, streamT, bD, bG, bH, ma, mi, go, ge, interpret,
-    state_dtype="int32", rows=1, chunk=None,
+    state_dtype="int32", rows=1, chunk=None, score_width=None,
 ):
     """One chained tile: qT [128, S], streamT [T, S], boundary strips
-    [T, S] -> (acc_strip, oD, oG, oH), each [T, S] int32."""
+    [T, S] -> (acc_strip, oD, oG, oH), each [T, S] int32 (biased domain
+    throughout when score_width is set — the caller unbiases at gather)."""
     S = qT.shape[1]
     T = streamT.shape[0]
     if chunk is None:
@@ -440,6 +460,7 @@ def _strip_call_chained(
     SL = LANES // rows
     kernel = functools.partial(
         _stream_kernel_mr_chained, ma=ma, mi=mi, go=go, ge=ge, R=rows, dt=dt,
+        biased_width=score_width,
     )
     scratch = [
         pltpu.VMEM((LANES, S), dt),
@@ -475,14 +496,17 @@ def _strip_call_chained(
     return outs
 
 
-def _shift_steps(x, k):
-    """x[t] <- x[t + k], zero-filled at the tail (step-axis left shift)."""
-    return jnp.pad(x[k:], ((0, k), (0, 0)))
+def _shift_steps(x, k, fill=0):
+    """x[t] <- x[t + k], fill-padded at the tail (step-axis left shift).
+    `fill` is the boundary-zero value: 0 exact, the bias in wrap mode."""
+    return jnp.pad(x[k:], ((0, k), (0, 0)), constant_values=fill)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("penalties", "interpret", "state_dtype", "rows"),
+    static_argnames=(
+        "penalties", "interpret", "state_dtype", "rows", "score_width",
+    ),
 )
 def sw_scores_stream_long(
     q: jnp.ndarray,
@@ -493,6 +517,7 @@ def sw_scores_stream_long(
     interpret: bool = False,
     state_dtype: str = "int32",
     rows: int = 16,
+    score_width=None,
 ) -> jnp.ndarray:
     """Streamed wavefront scoring for queries longer than 128 bases: chains
     K = q.shape[1]/128 tiles of the multi-row kernel, carrying the row-127
@@ -507,20 +532,27 @@ def sw_scores_stream_long(
         (128//rows - 1)*(K-1) extra drain steps).
       emit_stream/emit_step: emission coordinates (drain = 128//rows - 1,
         identical to the single-tile multi-row contract).
+      score_width: W-bit biased wrap-parity — the chained form of the
+        RTL's SCORE_WIDTH arithmetic (the PE is W-bit at EVERY query
+        length: SW_ProcessingElement_v1.0.v:15-20 composed with the
+        chaining ports, ScoringModule_v1.1.v:36-54); the inter-tile
+        boundary strips carry biased values.
 
     Returns [n_reads] int32 scores.
     """
     _validate_long(q, stream.shape[1], rows, state_dtype, interpret,
-                   penalties, n_streams=q.shape[0])
+                   penalties, n_streams=q.shape[0], score_width=score_width)
     return _long_impl(
         q, stream.T, emit_stream, emit_step, penalties, interpret,
-        state_dtype, rows,
+        state_dtype, rows, score_width=score_width,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("penalties", "interpret", "state_dtype", "rows"),
+    static_argnames=(
+        "penalties", "interpret", "state_dtype", "rows", "score_width",
+    ),
 )
 def sw_scores_stream_long_kernel_layout(
     q: jnp.ndarray,
@@ -531,22 +563,25 @@ def sw_scores_stream_long_kernel_layout(
     interpret: bool = False,
     state_dtype: str = "int32",
     rows: int = 16,
+    score_width=None,
 ) -> jnp.ndarray:
     """sw_scores_stream_long on a PRE-TRANSPOSED [T, N] stream — the
     resident layout of loaded databases, so long-query serving dispatches
     carry no stream relayout at all (the query register is laid out
     per-tile inside as usual)."""
     _validate_long(q, streamT.shape[0], rows, state_dtype, interpret,
-                   penalties, n_streams=streamT.shape[1])
+                   penalties, n_streams=streamT.shape[1],
+                   score_width=score_width)
     return _long_impl(
         q, streamT, emit_stream, emit_step, penalties, interpret,
-        state_dtype, rows,
+        state_dtype, rows, score_width=score_width,
     )
 
 
-def _validate_long(q, T, rows, state_dtype, interpret, penalties, n_streams):
+def _validate_long(q, T, rows, state_dtype, interpret, penalties, n_streams,
+                   score_width=None):
     _validate_config(
-        1, interpret, rows, state_dtype, None, penalties
+        1, interpret, rows, state_dtype, score_width, penalties
     )
     if q.shape[1] % LANES:
         raise ValueError(f"q width {q.shape[1]} must be a multiple of {LANES}")
@@ -559,7 +594,7 @@ def _validate_long(q, T, rows, state_dtype, interpret, penalties, n_streams):
 
 
 def _long_impl(q, sk, emit_stream, emit_step, penalties, interpret,
-               state_dtype, rows):
+               state_dtype, rows, score_width=None):
     """Shared chained-tile body; sk is the kernel-layout [T, N] stream."""
     ma, mi, go, ge = penalties.astuple()
     N = q.shape[0]
@@ -573,20 +608,23 @@ def _long_impl(q, sk, emit_stream, emit_step, penalties, interpret,
             for p in range(K)
         ]
     )  # [K, 128, N]
-    zeros = jnp.zeros((T, N), jnp.int32)
+    # boundary zero: the bias in wrap mode (the RTL ties chain inputs to
+    # ZERO = 2^(W-1), SW_ProcessingElement_v1.0.v:15-20)
+    bias = 0 if score_width is None else (1 << (score_width - 1))
+    zeros = jnp.full((T, N), bias, jnp.int32)
 
     def tile(carry, qk):
         bD, bG, bH, _ = carry
         acc, oD, oG, oH = _strip_call_chained(
             qk, sk, bD, bG, bH, ma, mi, go, ge, interpret,
-            state_dtype=state_dtype, rows=rows,
+            state_dtype=state_dtype, rows=rows, score_width=score_width,
         )
         # only the LAST tile's accumulator strip is the emission surface;
         # carry it (overwritten each tile) instead of stacking K strips
         nxt = (
-            _shift_steps(oD, SL - 2),
-            _shift_steps(oG, SL - 1),
-            _shift_steps(oH, SL - 1),
+            _shift_steps(oD, SL - 2, fill=bias),
+            _shift_steps(oG, SL - 1, fill=bias),
+            _shift_steps(oH, SL - 1, fill=bias),
             acc,
         )
         return nxt, None
@@ -594,13 +632,17 @@ def _long_impl(q, sk, emit_stream, emit_step, penalties, interpret,
     (_, _, _, acc_last), _ = jax.lax.scan(
         tile, (zeros, zeros, zeros, zeros), qks
     )
-    # acc_last is already [T, N] — the shared gather needs no transpose
-    return _gather_emissions(acc_last, emit_stream, emit_step)
+    # acc_last is already [T, N] — the shared gather needs no transpose.
+    # In wrap mode the strip is biased; unbias after the gather (the live
+    # mask keeps zero-length reads at score 0)
+    return _gather_emissions(acc_last, emit_stream, emit_step, bias=bias)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("penalties", "interpret", "state_dtype", "rows"),
+    static_argnames=(
+        "penalties", "interpret", "state_dtype", "rows", "score_width",
+    ),
 )
 def sw_scores_stream_long_packed(
     q: jnp.ndarray,
@@ -612,6 +654,7 @@ def sw_scores_stream_long_packed(
     interpret: bool = False,
     state_dtype: str = "int32",
     rows: int = 16,
+    score_width=None,
 ) -> jnp.ndarray:
     """sw_scores_stream_long on the 2-bit wire format: the stream crosses
     H2D at 2.5 bits/char (pack_stream_wire) and expands on device, so long
@@ -620,6 +663,7 @@ def sw_scores_stream_long_packed(
     return sw_scores_stream_long(
         q, stream, emit_stream, emit_step, penalties=penalties,
         interpret=interpret, state_dtype=state_dtype, rows=rows,
+        score_width=score_width,
     )
 
 
@@ -954,14 +998,17 @@ def sw_scores_stream_kernel_layout(
     return _gather_emissions(strip, emit_stream, emit_step)
 
 
-def _gather_emissions(strip, emit_stream, emit_step):
+def _gather_emissions(strip, emit_stream, emit_step, bias=0):
     """[T, N] strip -> per-read scores (emit_step < 0 = zero-length read).
     The ONE emission-gather implementation every scoring entry shares
     (traced inline — no nested jit, so compiled-executable cache keys are
-    unchanged)."""
+    unchanged).  `bias` unbiases wrap-mode strips; zero-length reads stay
+    at score 0 either way."""
     live = emit_step >= 0
     safe_step = jnp.where(live, emit_step, 0)
     scores = strip[safe_step, emit_stream]
+    if bias:
+        scores = scores - bias
     return jnp.where(live, scores, 0).astype(jnp.int32)
 
 

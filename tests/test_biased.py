@@ -282,11 +282,12 @@ def test_scorebank_stream_backend_score_width():
     np.testing.assert_array_equal(res2.scores, want)
 
 
-@pytest.mark.slow  # interpret-mode chained biased column build (~55 s)
-def test_scorebank_stream_biased_long_pairs_route_column():
+def test_scorebank_stream_biased_long_pairs_keep_wrap():
     """score_width + a >128-base query in score_pairs must keep wrap
-    semantics (chained biased column tiles), never silently score exactly
-    through the stream long kernel."""
+    semantics.  Round 5: the chained STREAM tiles carry biased boundary
+    strips (SW_ProcessingElement_v1.0.v:15-20 composed with the chaining
+    ports, ScoringModule_v1.1.v:36-54), so mixed pair sets stay on the
+    wavefront at full wrap parity — no column-kernel detour."""
     from swtpu.bank import ScoreBank
     from swtpu.config import SWConfig
     from swtpu.oracle import sw_score_single_biased
@@ -310,3 +311,80 @@ def test_scorebank_stream_biased_long_pairs_route_column():
     )
     res = bank.score_pairs(queries, targets)
     np.testing.assert_array_equal(res.scores, want)
+
+
+def test_stream_long_kernel_biased_matches_oracle():
+    """The chained long-query kernel in wrap mode, directly: inter-tile
+    D/G/H strips carry biased values; parity vs the contract oracle incl.
+    a pair whose exact score crosses the W-bit ceiling (wrap fires)."""
+    from swtpu.bank.streams import pack_streams_long
+    from swtpu.oracle import sw_score_single_biased
+    from swtpu.ops.pallas_stream import sw_scores_stream_long
+
+    rng = np.random.default_rng(20)
+    W = 10
+    query = np.tile(np.arange(4, dtype=np.int8), 75)  # 300 nt
+    targets = [query.copy()]  # identical: exact 1500 > 511 -> wraps
+    targets += [rng.integers(0, 4, size=int(rng.integers(5, 80))).astype(np.int8)
+                for _ in range(6)]
+    targets += [query[:200].copy(), query[:50].copy()]
+    want = np.array(
+        [sw_score_single_biased(query, t, score_width=W) for t in targets],
+        np.int32,
+    )
+    assert want[0] < 1500  # the wrap actually fires
+    b = pack_streams_long(query, targets, n_streams=4, rows=4)
+    got = np.asarray(
+        sw_scores_stream_long(
+            b.q, b.stream, b.emit_stream, b.emit_step.astype(np.int32),
+            interpret=True, rows=4, score_width=W,
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_scorebank_stream_biased_long_database():
+    """ScoreBank(stream, score_width) serves >128-base queries on the
+    chained wavefront (round-4 verdict #4: no more ~6x column-kernel
+    cliff), bit-exact vs the biased oracle."""
+    from swtpu.bank import ScoreBank
+    from swtpu.config import SWConfig
+    from swtpu.oracle import sw_score_single_biased
+
+    rng = np.random.default_rng(21)
+    W = 10
+    query = np.tile(np.arange(4, dtype=np.int8), 40)  # 160 nt
+    targets = [query.copy()] + [
+        rng.integers(0, 4, size=int(rng.integers(4, 60))).astype(np.int8)
+        for _ in range(8)
+    ]
+    want = np.array(
+        [sw_score_single_biased(query, t, score_width=W) for t in targets],
+        np.int32,
+    )
+    bank = ScoreBank(SWConfig(score_width=W), backend="stream", interpret=True)
+    res = bank.score_database(query, targets)
+    np.testing.assert_array_equal(res.scores, want)
+
+
+def test_loaded_db_biased_long_query():
+    """score_width + >128-base queries now ride the device-resident
+    database too (chained biased tiles on the kernel-layout entry)."""
+    from swtpu.bank import ScoreBank
+    from swtpu.config import SWConfig
+    from swtpu.oracle import sw_score_single_biased
+
+    rng = np.random.default_rng(22)
+    W = 9
+    targets = [rng.integers(0, 4, size=int(rng.integers(4, 50))).astype(np.int8)
+               for _ in range(7)]
+    bank = ScoreBank(SWConfig(score_width=W), backend="stream", interpret=True)
+    db = bank.load_database(targets, max_query_len=256)
+    for qlen in (60, 140, 256):
+        query = np.tile(np.arange(4, dtype=np.int8), qlen // 4 + 1)[:qlen]
+        want = np.array(
+            [sw_score_single_biased(query, t, score_width=W) for t in targets],
+            np.int32,
+        )
+        res = bank.score_loaded(query, db)
+        np.testing.assert_array_equal(res.scores, want)

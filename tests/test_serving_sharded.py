@@ -144,3 +144,24 @@ def test_loaded_sharded_requires_stream_backend(mesh):
     scan_bank = ScoreBank(backend="scan")
     with pytest.raises(ValueError, match="stream backend"):
         scan_bank.load_database_sharded([np.zeros(4, np.int8)], mesh)
+
+
+def test_loaded_sharded_biased_long_query(mesh):
+    """score_width composes with sharded serving at any query length
+    (round-5 biased chained tiles under shard_map)."""
+    from swtpu.oracle import sw_score_single_biased
+
+    rng = np.random.default_rng(17)
+    W = 9
+    wbank = ScoreBank(
+        SWConfig(score_width=W), backend="stream", interpret=True
+    )
+    targets = _targets(rng, 13)
+    db = wbank.load_database_sharded(targets, mesh, max_query_len=256)
+    query = np.tile(np.arange(4, dtype=np.int8), 40)  # 160 nt, self-sim
+    want = np.array(
+        [sw_score_single_biased(query, t, score_width=W) for t in targets],
+        np.int32,
+    )
+    res = wbank.score_loaded_sharded(query, db)
+    np.testing.assert_array_equal(res.scores, want)
