@@ -84,6 +84,7 @@ class LoadedDatabase:
     rows: int
     k_max: int  # query-tile capacity the stream was drain-padded for
     segments: int = 1  # queries per lane column (short-query occupancy)
+    emit_regular: object = None  # strided-extract pattern (streams.py)
 
 
 class ScoreBank:
@@ -432,6 +433,7 @@ class ScoreBank:
             rows=rows,
             k_max=k_max,
             segments=segments,
+            emit_regular=batch.emit_regular,
         )
 
     def _dispatch_loaded(self, query: np.ndarray, db: LoadedDatabase):
@@ -458,7 +460,7 @@ class ScoreBank:
             return sw_scores_stream_kernel_layout(
                 qk, db.stream, db.emit_stream_dev, db.emit_step_dev,
                 segments=db.segments, score_width=self.config.score_width,
-                **kw,
+                emit_regular=db.emit_regular, **kw,
             )
         if db.segments > 1:
             raise ValueError(
@@ -480,7 +482,8 @@ class ScoreBank:
         # biased chained tiles, round 5)
         return sw_scores_stream_long_kernel_layout(
             q, db.stream, db.emit_stream_dev, db.emit_step_dev,
-            score_width=self.config.score_width, **kw,
+            score_width=self.config.score_width,
+            emit_regular=db.emit_regular, **kw,
         )
 
     def _finish_loaded(self, dev_scores, query, db: LoadedDatabase, t0,
@@ -728,6 +731,7 @@ class ScoreBank:
                     segments=segments, rows=rows,
                     state_dtype=self._stream_dtype(),
                     score_width=self.config.score_width,
+                    emit_regular=batch.emit_regular,
                 )
             )
             if self.verify_integrity:
@@ -806,6 +810,7 @@ class ScoreBank:
                     self.config.penalties, interpret=self._interpret,
                     rows=rows, state_dtype=self._stream_dtype(),
                     score_width=self.config.score_width,
+                    emit_regular=batch.emit_regular,
                 )
             )
         else:
@@ -816,6 +821,7 @@ class ScoreBank:
                     self.config.penalties, interpret=self._interpret, rows=rows,
                     state_dtype=self._stream_dtype(),
                     score_width=self.config.score_width,
+                    emit_regular=batch.emit_regular,
                 )
             )
         if self.verify_integrity:
@@ -890,14 +896,17 @@ class ScoreBank:
         wire = self.config.wire_2bit and not self._interpret
         dq_box = {}
 
-        def dispatch(q, stream, es, ep):
+        def dispatch(q, stream, es, ep, regular):
             dq = dq_box.get("q")
             if dq is None:
                 dq = dq_box["q"] = jax.device_put(q)
             if wire:
                 codes, flags = pack_stream_wire(stream)
-                return sw_scores_stream_packed(dq, codes, flags, es, ep, **kw)
-            return sw_scores_stream(dq, stream, es, ep, **kw)
+                return sw_scores_stream_packed(
+                    dq, codes, flags, es, ep, emit_regular=regular, **kw
+                )
+            return sw_scores_stream(dq, stream, es, ep, emit_regular=regular,
+                                    **kw)
 
         ex = ThreadPoolExecutor(max_workers=1)
         try:
@@ -932,7 +941,10 @@ class ScoreBank:
                 ep = np.full((C,), -1, np.int32)
                 es[: hi - lo] = batch.emit_stream
                 ep[: hi - lo] = batch.emit_step.astype(np.int32)
-                fut = ex.submit(dispatch, batch.q, stream, es, ep)
+                from swtpu.bank.streams import detect_regular_emissions
+
+                regular = detect_regular_emissions(es, ep, S)
+                fut = ex.submit(dispatch, batch.q, stream, es, ep, regular)
                 chunk_padded = stream.shape[0] * Tq * (LANES // segments)
                 pending.append((lo, hi, fut, batch.cells, chunk_padded))
             scores = np.zeros((n_reads,), dtype=np.int32)
@@ -1030,6 +1042,7 @@ class ScoreBank:
                     segments=segments, rows=rows,
                     state_dtype=self._stream_dtype(),
                     score_width=self.config.score_width,
+                    emit_regular=batch.emit_regular,
                 )
             )
         else:
@@ -1041,6 +1054,7 @@ class ScoreBank:
                     segments=segments, rows=rows,
                     state_dtype=self._stream_dtype(),
                     score_width=self.config.score_width,
+                    emit_regular=batch.emit_regular,
                 )
             )
         if self.verify_integrity:

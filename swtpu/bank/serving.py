@@ -58,6 +58,7 @@ class ShardedLoadedDatabase:
     interpret: bool
     state_dtype: str
     score_width: Optional[int] = None
+    emit_regular: Optional[tuple] = None  # strided-extract pattern
     _scorers: Dict[tuple, object] = dataclasses.field(default_factory=dict)
 
 
@@ -73,6 +74,7 @@ def make_sharded_loaded_scorer(
     long_query: bool = False,
     full_scores: bool = True,
     score_width: Optional[int] = None,
+    emit_regular: Optional[tuple] = None,
 ):
     """Jitted shard_map over resident stream shards with a replicated query.
 
@@ -104,13 +106,14 @@ def make_sharded_loaded_scorer(
             s = sw_scores_stream_long_kernel_layout(
                 qk, streamT[0], es[0], ep[0], penalties=penalties,
                 interpret=interpret, rows=rows, state_dtype=state_dtype,
-                score_width=score_width,
+                score_width=score_width, emit_regular=emit_regular,
             )
         else:
             s = sw_scores_stream_kernel_layout(
                 qk, streamT[0], es[0], ep[0], penalties=penalties,
                 interpret=interpret, segments=segments, rows=rows,
                 state_dtype=state_dtype, score_width=score_width,
+                emit_regular=emit_regular,
             )
         if not k:
             return s[None, :]
@@ -233,6 +236,11 @@ def load_database_sharded(
         emit_stream[d, : len(g)] = b.emit_stream
         emit_step[d, : len(g)] = b.emit_step.astype(np.int32)
         ids[d, : len(g)] = g
+    regs = {b.emit_regular for b in batches}
+    emit_regular = (
+        regs.pop() if len(regs) == 1 and all(len(g) == R for g in groups)
+        else None
+    )
 
     if bank.config.wire_2bit and not bank._interpret:
         # one 2.5-bit/char crossing per shard, expanded + transposed on the
@@ -279,6 +287,7 @@ def load_database_sharded(
         interpret=bank._interpret,
         state_dtype=bank._stream_dtype(),
         score_width=bank.config.score_width,
+        emit_regular=emit_regular,
     )
 
 
@@ -327,6 +336,7 @@ def _get_scorer(db: ShardedLoadedDatabase, long_query: bool, k: int,
             interpret=db.interpret, segments=db.segments, rows=db.rows,
             state_dtype=db.state_dtype, k=k, long_query=long_query,
             full_scores=full_scores, score_width=db.score_width,
+            emit_regular=db.emit_regular,
         )
     return fn
 

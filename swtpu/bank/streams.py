@@ -43,10 +43,42 @@ class StreamBatch:
     cells: int
     segments: int = 1
     rows: int = 1  # query rows folded per sublane (multi-row kernel)
+    # (first_step, stride, count) when the emission map is REGULAR — read r
+    # emits at (stream r % S, step first + (r // S) * stride), the shape
+    # equal-length round-robin packing produces.  Kernels then extract
+    # scores with a strided strip slice + reshape instead of a 262Ki-element
+    # scattered gather (the round-4 extraction tax).  None = ragged.
+    emit_regular: Optional[tuple] = None
 
     @property
     def total_steps(self) -> int:
         return self.stream.shape[0] * self.stream.shape[1]
+
+
+def detect_regular_emissions(
+    emit_stream: np.ndarray, emit_step: np.ndarray, S: int
+) -> Optional[tuple]:
+    """(first, stride, count) if read r emits at (r % S, first + (r//S)*stride)
+    for every r — one vectorized O(R) check at pack time (the result-mux
+    address pattern of a full equal-length round-robin bank)."""
+    R = len(emit_step)
+    if R == 0 or R % S:
+        return None
+    per = R // S
+    r = np.arange(R, dtype=np.int64)
+    if not np.array_equal(np.asarray(emit_stream, np.int64), r % S):
+        return None
+    first = int(emit_step[0])
+    if first < 0:
+        return None
+    stride = int(emit_step[S]) - first if per > 1 else 1
+    if stride <= 0:
+        return None
+    if not np.array_equal(
+        np.asarray(emit_step, np.int64), (r // S) * stride + first
+    ):
+        return None
+    return (first, stride, per)
 
 
 def pack_streams(
@@ -134,6 +166,15 @@ def pack_streams(
     return _pack_streams_greedy(query, targets, S, segments, rows)
 
 
+def _finish_batch(batch: StreamBatch) -> StreamBatch:
+    """Stamp pack-time metadata shared by every packer: the regular-emission
+    pattern (strided-extract fast path) when present."""
+    batch.emit_regular = detect_regular_emissions(
+        batch.emit_stream, batch.emit_step, batch.stream.shape[0]
+    )
+    return batch
+
+
 def _pack_streams_greedy(
     query: np.ndarray,
     targets: Sequence[np.ndarray],
@@ -179,10 +220,10 @@ def _pack_streams_greedy(
 
     q = np.full((S, qcap), Q_PAD, dtype=np.int8)
     q[:, : len(query)] = np.asarray(query, dtype=np.int8)[None, :]
-    return StreamBatch(
+    return _finish_batch(StreamBatch(
         q, stream, emit_stream, _check_emit_step(emit_step), cells, segments,
         rows,
-    )
+    ))
 
 
 def _check_emit_step(emit_step: np.ndarray) -> np.ndarray:
@@ -229,7 +270,8 @@ def pack_streams_long(
     q[:, : len(query)] = query[None, :]
     cells = b.cells * int(len(query))  # probe counted 1 cell per target char
     return StreamBatch(
-        q, stream, b.emit_stream, b.emit_step, cells, 1, rows
+        q, stream, b.emit_stream, b.emit_step, cells, 1, rows,
+        emit_regular=b.emit_regular,  # emission layout is query-independent
     )
 
 
@@ -271,10 +313,10 @@ def _pack_streams_dense(
     q = np.full((S, qcap), Q_PAD, dtype=np.int8)
     q[:, : len(query)] = np.asarray(query, dtype=np.int8)[None, :]
     cells = int(len(query)) * int(lens.astype(np.int64).sum())
-    return StreamBatch(
+    return _finish_batch(StreamBatch(
         q, stream, emit_stream, _check_emit_step(emit_step), cells, segments,
         rows,
-    )
+    ))
 
 
 def _pack_streams_equal(
@@ -301,7 +343,8 @@ def _pack_streams_equal(
     q[:, : len(query)] = np.asarray(query, dtype=np.int8)[None, :]
     return StreamBatch(
         q, stream, emit_stream, _check_emit_step(emit_step),
-        len(query) * B * n, segments, rows
+        len(query) * B * n, segments, rows,
+        emit_regular=(n - 1 + drain, n, per),  # regular by construction
     )
 
 
@@ -414,10 +457,10 @@ def pack_pair_streams(
     for u in range(U):
         qq = qlist[u]
         q[int(first[u]) : int(first[u] + alloc[u]), : len(qq)] = qq[None, :]
-    return StreamBatch(
+    return _finish_batch(StreamBatch(
         q, stream, emit_stream, _check_emit_step(emit_step), cells, segments,
         rows,
-    )
+    ))
 
 
 @dataclasses.dataclass
@@ -442,6 +485,7 @@ class ShardedStreamBatch:
     ids: np.ndarray
     cells: int
     segments: int = 1
+    emit_regular: Optional[tuple] = None  # common per-shard pattern, if any
 
 
 def pack_streams_sharded(
@@ -516,8 +560,16 @@ def pack_streams_sharded(
         emit_step[d, : len(g)] = b.emit_step
         ids[d, : len(g)] = g
         cells += b.cells
+    # the strided-extract fast path applies mesh-wide only when every shard
+    # shares one regular pattern and no shard needed read-count padding
+    regs = {b.emit_regular for b in batches}
+    common = (
+        regs.pop() if len(regs) == 1 and all(len(g) == R for g in groups)
+        else None
+    )
     return ShardedStreamBatch(
-        q, stream, emit_stream, emit_step, ids, cells, segments
+        q, stream, emit_stream, emit_step, ids, cells, segments,
+        emit_regular=common,
     )
 
 

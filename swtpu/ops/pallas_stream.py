@@ -506,6 +506,7 @@ def _shift_steps(x, k, fill=0):
     jax.jit,
     static_argnames=(
         "penalties", "interpret", "state_dtype", "rows", "score_width",
+        "emit_regular",
     ),
 )
 def sw_scores_stream_long(
@@ -518,6 +519,7 @@ def sw_scores_stream_long(
     state_dtype: str = "int32",
     rows: int = 16,
     score_width=None,
+    emit_regular=None,
 ) -> jnp.ndarray:
     """Streamed wavefront scoring for queries longer than 128 bases: chains
     K = q.shape[1]/128 tiles of the multi-row kernel, carrying the row-127
@@ -545,6 +547,7 @@ def sw_scores_stream_long(
     return _long_impl(
         q, stream.T, emit_stream, emit_step, penalties, interpret,
         state_dtype, rows, score_width=score_width,
+        emit_regular=emit_regular,
     )
 
 
@@ -552,6 +555,7 @@ def sw_scores_stream_long(
     jax.jit,
     static_argnames=(
         "penalties", "interpret", "state_dtype", "rows", "score_width",
+        "emit_regular",
     ),
 )
 def sw_scores_stream_long_kernel_layout(
@@ -564,6 +568,7 @@ def sw_scores_stream_long_kernel_layout(
     state_dtype: str = "int32",
     rows: int = 16,
     score_width=None,
+    emit_regular=None,
 ) -> jnp.ndarray:
     """sw_scores_stream_long on a PRE-TRANSPOSED [T, N] stream — the
     resident layout of loaded databases, so long-query serving dispatches
@@ -575,6 +580,7 @@ def sw_scores_stream_long_kernel_layout(
     return _long_impl(
         q, streamT, emit_stream, emit_step, penalties, interpret,
         state_dtype, rows, score_width=score_width,
+        emit_regular=emit_regular,
     )
 
 
@@ -594,7 +600,7 @@ def _validate_long(q, T, rows, state_dtype, interpret, penalties, n_streams,
 
 
 def _long_impl(q, sk, emit_stream, emit_step, penalties, interpret,
-               state_dtype, rows, score_width=None):
+               state_dtype, rows, score_width=None, emit_regular=None):
     """Shared chained-tile body; sk is the kernel-layout [T, N] stream."""
     ma, mi, go, ge = penalties.astuple()
     N = q.shape[0]
@@ -635,13 +641,15 @@ def _long_impl(q, sk, emit_stream, emit_step, penalties, interpret,
     # acc_last is already [T, N] — the shared gather needs no transpose.
     # In wrap mode the strip is biased; unbias after the gather (the live
     # mask keeps zero-length reads at score 0)
-    return _gather_emissions(acc_last, emit_stream, emit_step, bias=bias)
+    return _gather_emissions(acc_last, emit_stream, emit_step, bias=bias,
+                             regular=emit_regular)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "penalties", "interpret", "state_dtype", "rows", "score_width",
+        "emit_regular",
     ),
 )
 def sw_scores_stream_long_packed(
@@ -655,6 +663,7 @@ def sw_scores_stream_long_packed(
     state_dtype: str = "int32",
     rows: int = 16,
     score_width=None,
+    emit_regular=None,
 ) -> jnp.ndarray:
     """sw_scores_stream_long on the 2-bit wire format: the stream crosses
     H2D at 2.5 bits/char (pack_stream_wire) and expands on device, so long
@@ -663,7 +672,7 @@ def sw_scores_stream_long_packed(
     return sw_scores_stream_long(
         q, stream, emit_stream, emit_step, penalties=penalties,
         interpret=interpret, state_dtype=state_dtype, rows=rows,
-        score_width=score_width,
+        score_width=score_width, emit_regular=emit_regular,
     )
 
 
@@ -933,7 +942,7 @@ def unpack_stream_wire(codes: jnp.ndarray, flags: jnp.ndarray) -> jnp.ndarray:
     jax.jit,
     static_argnames=(
         "penalties", "interpret", "segments", "state_dtype", "tail_acc",
-        "rows", "score_width",
+        "rows", "score_width", "emit_regular",
     ),
 )
 def sw_scores_stream_packed(
@@ -949,6 +958,7 @@ def sw_scores_stream_packed(
     tail_acc: bool = True,
     rows: int = 1,
     score_width=None,
+    emit_regular=None,
 ) -> jnp.ndarray:
     """sw_scores_stream on the 2-bit wire format: the stream crosses H2D at
     2.5 bits/char (pack_stream_wire) and expands on device."""
@@ -957,6 +967,7 @@ def sw_scores_stream_packed(
         q, stream, emit_stream, emit_step, penalties=penalties,
         interpret=interpret, segments=segments, state_dtype=state_dtype,
         tail_acc=tail_acc, rows=rows, score_width=score_width,
+        emit_regular=emit_regular,
     )
 
 
@@ -964,7 +975,7 @@ def sw_scores_stream_packed(
     jax.jit,
     static_argnames=(
         "penalties", "interpret", "segments", "state_dtype", "tail_acc",
-        "rows", "score_width",
+        "rows", "score_width", "emit_regular",
     ),
 )
 def sw_scores_stream_kernel_layout(
@@ -979,6 +990,7 @@ def sw_scores_stream_kernel_layout(
     tail_acc: bool = True,
     rows: int = 1,
     score_width=None,
+    emit_regular=None,
 ) -> jnp.ndarray:
     """sw_scores_stream on PRE-LAID-OUT inputs: qk [128, S_phys]
     (``_q_kernel_layout``) and streamT [T, N] (the stream transposed).
@@ -995,15 +1007,33 @@ def sw_scores_stream_kernel_layout(
         state_dtype=state_dtype, tail_acc=tail_acc, rows=rows,
         score_width=score_width,
     )  # [T, N]
-    return _gather_emissions(strip, emit_stream, emit_step)
+    return _gather_emissions(strip, emit_stream, emit_step,
+                             regular=emit_regular)
 
 
-def _gather_emissions(strip, emit_stream, emit_step, bias=0):
+def _gather_emissions(strip, emit_stream, emit_step, bias=0, regular=None):
     """[T, N] strip -> per-read scores (emit_step < 0 = zero-length read).
     The ONE emission-gather implementation every scoring entry shares
     (traced inline — no nested jit, so compiled-executable cache keys are
     unchanged).  `bias` unbiases wrap-mode strips; zero-length reads stay
-    at score 0 either way."""
+    at score 0 either way.
+
+    regular: static (first, stride, count) from
+    swtpu.bank.streams.detect_regular_emissions — read r emits at
+    (r % N, first + (r // N) * stride), so read-order scores are a strided
+    row slice reshaped row-major: [count, N].reshape(-1)[r] is exactly
+    element (r // N, r % N).  This replaces the R-element scattered gather
+    (measured ~5.5 ms/call at R=262Ki, the round-4 product extraction tax)
+    with a strided DMA touching only count*N*4 bytes."""
+    if regular is not None:
+        first, stride, count = regular
+        ex = jax.lax.slice_in_dim(
+            strip, first, first + (count - 1) * stride + 1, stride, axis=0
+        )  # [count, N]
+        scores = ex.reshape(-1)
+        if bias:
+            scores = scores - bias
+        return scores.astype(jnp.int32)
     live = emit_step >= 0
     safe_step = jnp.where(live, emit_step, 0)
     scores = strip[safe_step, emit_stream]
@@ -1016,7 +1046,7 @@ def _gather_emissions(strip, emit_stream, emit_step, bias=0):
     jax.jit,
     static_argnames=(
         "penalties", "interpret", "segments", "state_dtype", "tail_acc",
-        "rows", "score_width",
+        "rows", "score_width", "emit_regular",
     ),
 )
 def sw_scores_stream(
@@ -1031,6 +1061,7 @@ def sw_scores_stream(
     tail_acc: bool = True,
     rows: int = 1,
     score_width=None,
+    emit_regular=None,
 ) -> jnp.ndarray:
     """Wavefront scoring with on-device emission gather: only the per-read
     scores leave the chip (the strip stays in HBM) — the analog of the
@@ -1053,4 +1084,5 @@ def sw_scores_stream(
         state_dtype=state_dtype, tail_acc=tail_acc, rows=rows,
         score_width=score_width,
     )  # [T, N]
-    return _gather_emissions(strip, emit_stream, emit_step)
+    return _gather_emissions(strip, emit_stream, emit_step,
+                             regular=emit_regular)

@@ -236,6 +236,9 @@ def _score_database_multihost_stream(
     scorer = make_sharded_stream_scorer(
         mesh, penalties=pen, interpret=interpret, k=k, rows=rows,
         state_dtype="float32" if on_tpu else "int32",
+        # the strided-extract fast path only composes when no host needed
+        # cross-host R padding (every host must trace the same program)
+        emit_regular=batch.emit_regular if R_all == R_local else None,
     )
     s, top_s, top_ids = scorer(qg, sg, esg, epg, idsg)
     shards = sorted(s.addressable_shards, key=lambda x: x.index[0].start or 0)

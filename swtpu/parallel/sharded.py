@@ -70,6 +70,7 @@ def make_sharded_stream_scorer(
     k: int = 0,
     rows: int = 1,
     state_dtype: str = "int32",
+    emit_regular=None,
 ) -> Callable:
     """Shard the streamed-wavefront backend (the headline kernel) over the
     mesh: each device runs one feeder bank's streams and emits its shard's
@@ -95,13 +96,14 @@ def make_sharded_stream_scorer(
             s = sw_scores_stream_long(
                 q[0], stream[0], es[0], ep[0],
                 penalties=penalties, interpret=interpret, rows=rows,
-                state_dtype=state_dtype,
+                state_dtype=state_dtype, emit_regular=emit_regular,
             )
         else:
             s = sw_scores_stream(
                 q[0], stream[0], es[0], ep[0],
                 penalties=penalties, interpret=interpret, segments=segments,
                 rows=rows, state_dtype=state_dtype,
+                emit_regular=emit_regular,
             )
         if not k:
             return s[None, :]

@@ -454,3 +454,98 @@ def test_fuzz_differential_long_and_biased():
         np.testing.assert_array_equal(
             got, want, err_msg=f"biased iter {it}: W={W} qlen={qlen} rows={rows}"
         )
+
+
+# ---------------- regular-emission strided extraction (round 5) ----------
+
+
+def test_detect_regular_emissions():
+    from swtpu.bank.streams import detect_regular_emissions, pack_streams
+
+    rng = np.random.default_rng(50)
+    # equal-length round-robin: regular by construction
+    t = rng.integers(0, 4, size=(16, 20)).astype(np.int8)
+    q = rng.integers(0, 4, size=10).astype(np.int8)
+    b = pack_streams(q, list(t), n_streams=4)
+    assert b.emit_regular is not None
+    first, stride, per = b.emit_regular
+    assert stride == 20 and per == 4 and first == b.emit_step[0]
+    # ragged: no pattern
+    ragged = [rng.integers(0, 4, size=int(rng.integers(3, 30))).astype(np.int8)
+              for _ in range(16)]
+    br = pack_streams(q, ragged, n_streams=4)
+    assert br.emit_regular is None
+    # direct check on hand-built arrays
+    r = np.arange(12)
+    assert detect_regular_emissions(
+        (r % 4).astype(np.int32), (r // 4) * 7 + 3, 4
+    ) == (3, 7, 3)
+    assert detect_regular_emissions(
+        (r % 4).astype(np.int32), (r // 4) * 7 + 3, 5
+    ) is None  # R not divisible by S
+
+
+def test_stream_regular_extraction_matches_gather():
+    """The strided-extract fast path (emit_regular) returns bit-identical
+    read-order scores to the scattered gather — the round-4 extraction-tax
+    fix must be invisible to results."""
+    from swtpu.bank.streams import pack_streams
+    from swtpu.ops.pallas_stream import sw_scores_stream
+    from swtpu.oracle import score_many_vs_one
+
+    rng = np.random.default_rng(51)
+    q = rng.integers(0, 4, size=33).astype(np.int8)
+    t = rng.integers(0, 4, size=(24, 17)).astype(np.int8)
+    b = pack_streams(q, list(t), n_streams=8, rows=2)
+    assert b.emit_regular is not None
+    want = score_many_vs_one(q, list(t))
+    args = (b.q, b.stream, b.emit_stream, b.emit_step.astype(np.int32))
+    got_fast = np.asarray(sw_scores_stream(
+        *args, interpret=True, rows=2, emit_regular=b.emit_regular))
+    got_slow = np.asarray(sw_scores_stream(*args, interpret=True, rows=2))
+    np.testing.assert_array_equal(got_fast, want)
+    np.testing.assert_array_equal(got_slow, want)
+
+
+def test_stream_regular_extraction_segments_and_biased():
+    from swtpu.bank.streams import pack_streams
+    from swtpu.ops.pallas_stream import sw_scores_stream
+    from swtpu.oracle import score_many_vs_one, sw_score_single_biased
+
+    rng = np.random.default_rng(52)
+    q = rng.integers(0, 4, size=20).astype(np.int8)
+    t = rng.integers(0, 4, size=(32, 11)).astype(np.int8)
+    b = pack_streams(q, list(t), n_streams=16, segments=4)
+    assert b.emit_regular is not None
+    got = np.asarray(sw_scores_stream(
+        b.q, b.stream, b.emit_stream, b.emit_step.astype(np.int32),
+        interpret=True, segments=4, emit_regular=b.emit_regular))
+    np.testing.assert_array_equal(got, score_many_vs_one(q, list(t)))
+    # biased wrap + regular extraction compose
+    W = 6
+    qb = np.tile(np.arange(4, dtype=np.int8), 8)
+    tb = np.tile(qb[None, :], (8, 1))
+    bb = pack_streams(qb, list(tb), n_streams=4)
+    assert bb.emit_regular is not None
+    want = np.array([sw_score_single_biased(qb, tt, score_width=W)
+                     for tt in tb], np.int32)
+    gotb = np.asarray(sw_scores_stream(
+        bb.q, bb.stream, bb.emit_stream, bb.emit_step.astype(np.int32),
+        interpret=True, score_width=W, emit_regular=bb.emit_regular))
+    np.testing.assert_array_equal(gotb, want)
+
+
+def test_stream_long_regular_extraction():
+    from swtpu.bank.streams import pack_streams_long
+    from swtpu.ops.pallas_stream import sw_scores_stream_long
+    from swtpu.oracle import score_many_vs_one
+
+    rng = np.random.default_rng(53)
+    q = rng.integers(0, 4, size=150).astype(np.int8)
+    t = rng.integers(0, 4, size=(12, 25)).astype(np.int8)
+    b = pack_streams_long(q, list(t), n_streams=4, rows=4)
+    assert b.emit_regular is not None
+    got = np.asarray(sw_scores_stream_long(
+        b.q, b.stream, b.emit_stream, b.emit_step.astype(np.int32),
+        interpret=True, rows=4, emit_regular=b.emit_regular))
+    np.testing.assert_array_equal(got, score_many_vs_one(q, list(t)))
