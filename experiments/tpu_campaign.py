@@ -21,6 +21,25 @@ ROOT = Path(__file__).resolve().parents[1]
 LOG = ROOT / "experiments" / "campaign.log"
 
 QUEUES = {
+    # round 5: extraction-tax isolation + regular-extract product path,
+    # sharded loaded-db serving on mesh(1), biased long chain at 512 nt,
+    # then a bench rehearsal to confirm the headline cache is intact
+    "r5b": [
+        (["experiments/tpu_step.py", "biased_long_wrap_w1"], 1500),
+        (["experiments/tpu_step.py", "biased_long_wrap"], 1000),
+    ],
+    "r5": [
+        (["experiments/tpu_step.py", "probe"], 300),
+        (["experiments/tpu_step.py", "warm_entry"], 1500),
+        (["experiments/tpu_step.py", "gather_ablate"], 1500),
+        (["experiments/tpu_step.py", "shmosaic_reg_w1"], 1500),
+        (["experiments/tpu_step.py", "shmosaic_reg_w33"], 1500),
+        (["experiments/tpu_step.py", "shmosaic_reg"], 560),
+        (["experiments/tpu_step.py", "loaded_sharded"], 1500),
+        (["experiments/tpu_step.py", "biased_long_w1"], 1500),
+        (["experiments/tpu_step.py", "biased_long"], 1000),
+        (["bench.py"], 560),
+    ],
     # round 3: make the driver bench real (scan-chain stages, warmed per-k),
     # confirm f32 parity on hardware, prewarm the graft entry, measure the
     # long-query chained path and many-vs-many pair streams, then rehearse

@@ -583,7 +583,7 @@ def _parity_biased_seg(rows=4, segments=4, S=128, W=7):
 
 
 def _shmosaic_chain(ks=(1, 5), rows=16, S=512, B=65536, state_dtype="float32",
-                    check_top=True, k_top=3):
+                    check_top=True, k_top=3, use_regular=False):
     """VERDICT r3 #1: the flagship config (rows=16, f32, S=512) as real
     Mosaic under shard_map on mesh(1) — scan-chain GCUPS + 64-read parity.
     Calls the literal production function (make_sharded_stream_scorer with
@@ -610,8 +610,11 @@ def _shmosaic_chain(ks=(1, 5), rows=16, S=512, B=65536, state_dtype="float32",
         want_top3 = np.sort(score_many_vs_one(query, th))[-3:][::-1]
         log(f"oracle top-3 in {time.time()-t0:.0f}s: {want_top3}")
     mesh = make_mesh(1)
+    if use_regular:
+        log(f"regular extraction: {batch.emit_regular}")
     scorer = make_sharded_stream_scorer(
         mesh, interpret=False, rows=rows, state_dtype=state_dtype, k=k_top,
+        emit_regular=batch.emit_regular if use_regular else None,
     )
     dq = jax.device_put(batch.q)
     dstream = jax.device_put(batch.stream)
@@ -703,29 +706,49 @@ def warm_entry():
     log(f"entry parity first-64: {'OK' if ok else 'MISMATCH'}")
 
 
-def _chain_long(K, ks=(1, 5), state_dtype="float32", rows=16, S=512, B=65536):
+def _chain_long(K, ks=(1, 5), state_dtype="float32", rows=16, S=512, B=65536,
+                score_width=None, parity_reads=64, n=128):
     """Long-query chained-tile kernel (sw_scores_stream_long) throughput via
-    the in-jit scan-chain method, with a 64-read parity window."""
+    the in-jit scan-chain method, with a parity window (vs the exact oracle,
+    or the BIASED contract oracle when score_width is set — round-5
+    wrap-parity on the chained tiles)."""
     import functools
 
     import jax.numpy as jnp
 
     from swtpu.bank.streams import pack_streams_long
-    from swtpu.oracle import score_many_vs_one
+    from swtpu.oracle import score_many_vs_one, sw_score_single_biased
     from swtpu.ops.pallas_stream import sw_scores_stream_long
 
     rng = np.random.default_rng(0)
-    m, n = K * 128, 128
+    m = K * 128
     query = rng.integers(0, 4, size=m).astype(np.int8)
     th = rng.integers(0, 4, size=(B, n)).astype(np.int8)
+    if score_width is not None:
+        # wrap-regime coverage: the first reads are high-identity slices of
+        # the query; with n >= ~(2^(W-1))/match the exact score blows past
+        # the W-bit ceiling and the wrap genuinely fires
+        for i in range(8):
+            th[i] = np.resize(query[i:], n)
     b = pack_streams_long(
         query, th, n_streams=S, rows=rows,
         lens=np.full(B, n, np.int32),
     )
     dq, ds_ = jax.device_put(b.q), jax.device_put(b.stream)
-    es = jax.device_put(b.emit_stream[:64])
-    ep = jax.device_put(b.emit_step[:64].astype(np.int32))
-    want = score_many_vs_one(query, th[:64])
+    P = parity_reads
+    es = jax.device_put(b.emit_stream[:P])
+    ep = jax.device_put(b.emit_step[:P].astype(np.int32))
+    if score_width is not None:
+        state_dtype = "int32"
+        want = np.array(
+            [sw_score_single_biased(query, t, score_width=score_width)
+             for t in th[:P]], np.int32,
+        )
+        exact = score_many_vs_one(query, th[:2])
+        log(f"biased parity window: exact[0]={exact[0]} "
+            f"biased[0]={want[0]} (wrap {'FIRES' if want[0] != exact[0] else 'inactive'})")
+    else:
+        want = score_many_vs_one(query, th[:P])
     cells = b.cells
 
     @functools.partial(jax.jit, static_argnames="k")
@@ -734,6 +757,7 @@ def _chain_long(K, ks=(1, 5), state_dtype="float32", rows=16, S=512, B=65536):
             q_c, acc = carry
             s = sw_scores_stream_long(
                 q_c, stream, es, ep, state_dtype=state_dtype, rows=rows,
+                score_width=score_width,
             )
             v = s[0]
             q_n = jnp.where(v < -(2**30), q_c + jnp.int8(1), q_c)
@@ -748,7 +772,8 @@ def _chain_long(K, ks=(1, 5), state_dtype="float32", rows=16, S=512, B=65536):
         out = [np.asarray(x) for x in chain(dq, ds_, es, ep, k)]
         log(f"long K={K} k={k}: compile+warm {time.time()-t0:.0f}s")
         ok = np.array_equal(out[1], want)
-        log(f"long K={K} parity first-64: {'OK' if ok else 'MISMATCH'}")
+        log(f"long K={K}{' W='+str(score_width) if score_width else ''} "
+            f"parity first-{len(want)}: {'OK' if ok else 'MISMATCH'}")
         if not ok:
             return
         best = 1e9
@@ -763,7 +788,8 @@ def _chain_long(K, ks=(1, 5), state_dtype="float32", rows=16, S=512, B=65536):
     k1, k2 = ks[0], ks[-1]
     per = (times[k2] - times[k1]) / (k2 - k1)
     log(
-        f"stream_long K={K} S={S} {state_dtype} rows={rows} chained: "
+        f"stream_long K={K} S={S} {state_dtype} rows={rows}"
+        f"{' W='+str(score_width) if score_width else ''} chained: "
         f"{per*1e3:.2f} ms/kernel -> {cells/per/1e9:.1f} GCUPS "
         f"(floor {cells*k2/times[k2]/1e9:.1f})"
     )
@@ -840,6 +866,142 @@ def _chain_pairs(ks=(1, 5), state_dtype="float32", rows=16, S=512,
         f"{per*1e3:.2f} ms/kernel -> {cells/per/1e9:.1f} GCUPS "
         f"(floor {cells*k2/times[k2]/1e9:.1f})"
     )
+
+
+
+
+def _loaded_sharded(B=1 << 18, n=128, reps=4, topk=True):
+    """Round-5 (VERDICT #1): the sharded device-resident serving path on
+    mesh(1) over the real chip — load_database_sharded + shard_map'd
+    score_loaded_sharded / topk_loaded_sharded, compiled Mosaic.  Parity
+    window vs the oracle + one Mreads/s-per-query point."""
+    from swtpu.bank.scorebank import ScoreBank
+    from swtpu.oracle import score_many_vs_one
+    from swtpu.parallel import make_mesh
+
+    rng = np.random.default_rng(0)
+    th = rng.integers(0, 4, size=(B, n)).astype(np.int8)
+    lens = np.full(B, n, np.int32)
+    bank = ScoreBank(backend="stream", interpret=False)
+    mesh = make_mesh(1)
+    t0 = time.time()
+    db = bank.load_database_sharded((th, lens), mesh, max_query_len=1024)
+    log(f"load_database_sharded: {B} reads in {time.time()-t0:.1f}s "
+        f"(stream {np.shape(db.stream)} shards={db.n_shards} "
+        f"regular={db.emit_regular})")
+    for qlen in (128, 1024):
+        query = rng.integers(0, 4, size=qlen).astype(np.int8)
+        want64 = score_many_vs_one(query, list(th[:64]))
+        t0 = time.time()
+        r = bank.score_loaded_sharded(query, db)  # compile + warm
+        log(f"score_loaded_sharded qlen={qlen}: compile+warm {time.time()-t0:.0f}s")
+        if not np.array_equal(r.scores[:64], want64):
+            log(f"qlen={qlen}: PARITY MISMATCH "
+                f"got {r.scores[:8]} want {want64[:8]}")
+            return
+        best = 1e9
+        for _ in range(reps):
+            r = bank.score_loaded_sharded(query, db)
+            best = min(best, r.elapsed_s)
+        log(
+            f"score_loaded_sharded qlen={qlen}: best {best*1e3:.0f} ms -> "
+            f"{B/best/1e6:.2f} Mreads/s per query, "
+            f"{r.cells/best/1e9:.1f} GCUPS e2e"
+        )
+        if topk and qlen == 128:
+            t0 = time.time()
+            top = bank.topk_loaded_sharded(query, db, k=5)
+            log(f"topk_loaded_sharded: compile+warm {time.time()-t0:.0f}s "
+                f"top={top[:3]}")
+            # cross-check vs full scores
+            want_top = r.top_k(5)
+            log(f"topk parity: {'OK' if top == want_top else 'MISMATCH'}")
+            best = 1e9
+            for _ in range(reps):
+                t0 = time.time()
+                bank.topk_loaded_sharded(query, db, k=5)
+                best = min(best, time.time() - t0)
+            log(f"topk_loaded_sharded: best {best*1e3:.0f} ms -> "
+                f"{B/best/1e6:.2f} Mreads/s per query (2k-scalar D2H)")
+
+
+def _gather_ablate(B=1 << 18, n=128, S=512, rows=16, reps=4):
+    """Round-5 isolation: the same kernel + three extraction epilogues —
+    scattered gather (round-4 product), flat 1-D gather, strided regular
+    extraction — timed via the k-chain method so dispatch cancels."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from swtpu.bank.streams import pack_streams
+    from swtpu.ops.pallas_stream import _strip_call, _to_kernel_layout
+    from swtpu.config import DEFAULT_PENALTIES
+
+    rng = np.random.default_rng(0)
+    query = rng.integers(0, 4, size=128).astype(np.int8)
+    th = rng.integers(0, 4, size=(B, n)).astype(np.int8)
+    b = pack_streams(query, th, n_streams=S, rows=rows)
+    qk, sk = _to_kernel_layout(b.q, b.stream, 1, rows)
+    dq, ds = jax.device_put(qk), jax.device_put(sk)
+    des = jax.device_put(b.emit_stream.astype(np.int32))
+    dep = jax.device_put(b.emit_step.astype(np.int32))
+    ma, mi, go, ge = DEFAULT_PENALTIES.astuple()
+    reg = b.emit_regular
+    log(f"emit_regular={reg} T={b.stream.shape[1]}")
+
+    def mk(extract):
+        @functools.partial(jax.jit, static_argnames="k")
+        def chain(qk_, sk_, es, ep, k):
+            def body(carry, _):
+                q_c, acc = carry
+                strip = _strip_call(
+                    q_c, sk_, ma, mi, go, ge, False,
+                    state_dtype="float32", rows=rows,
+                )
+                sc = extract(strip, es, ep)
+                v = sc[0]
+                q_n = jnp.where(v < -(2 ** 30), q_c + jnp.int8(1), q_c)
+                return (q_n, acc + v), sc[:64]
+            (_, acc), wins = jax.lax.scan(body, (qk_, jnp.int32(0)), None, length=k)
+            return acc, wins[-1]
+        return chain
+
+    def ex_gather(strip, es, ep):
+        return strip[ep, es]
+
+    def ex_flat(strip, es, ep):
+        return strip.reshape(-1)[ep * strip.shape[1] + es]
+
+    first, stride, count = reg
+
+    def ex_reg(strip, es, ep):
+        return jax.lax.slice_in_dim(
+            strip, first, first + (count - 1) * stride + 1, stride, axis=0
+        ).reshape(-1)
+
+    want = None
+    for name, ex in (("gather2d", ex_gather), ("flat", ex_flat), ("regular", ex_reg)):
+        chain = mk(ex)
+        times = {}
+        for k in (1, 17):
+            t0 = time.time()
+            out = [np.asarray(x) for x in chain(dq, ds, des, dep, k)]
+            log(f"{name} k={k}: compile+warm {time.time()-t0:.0f}s")
+            if want is None:
+                want = out[1]
+            elif not np.array_equal(out[1], want):
+                log(f"{name}: EXTRACT MISMATCH")
+                break
+            best = 1e9
+            for _ in range(reps):
+                t0 = time.time()
+                _ = [np.asarray(x) for x in chain(dq, ds, des, dep, k)]
+                best = min(best, time.time() - t0)
+            times[k] = best
+        if len(times) == 2:
+            per = (times[17] - times[1]) / 16
+            log(f"extract={name}: {per*1e3:.2f} ms/kernel -> "
+                f"{b.cells/per/1e9:.1f} GCUPS")
 
 
 STEPS = {
@@ -968,6 +1130,22 @@ STEPS = {
         "stream_chain", SWTPU_BENCH_KS="33", SWTPU_BENCH_SCORE_WIDTH="12"),
     "biased_bench_chain": lambda: _bench_stage(
         "stream_chain", SWTPU_BENCH_SCORE_WIDTH="12"),
+    # round-5 steps: extraction-tax isolation + regular-extract product path,
+    # sharded loaded-db serving on mesh(1), biased long chain at 512 nt
+    "gather_ablate_w": lambda: _gather_ablate(reps=1),
+    "gather_ablate": _gather_ablate,
+    "shmosaic_reg_w1": lambda: _shmosaic_chain(ks=(1,), B=262144, check_top=False, use_regular=True),
+    "shmosaic_reg_w33": lambda: _shmosaic_chain(ks=(33,), B=262144, check_top=False, use_regular=True),
+    "shmosaic_reg": lambda: _shmosaic_chain(ks=(1, 33), B=262144, check_top=False, use_regular=True),
+    "loaded_sharded": _loaded_sharded,
+    "biased_long_w1": lambda: _chain_long(4, ks=(1,), score_width=12, parity_reads=35),
+    "biased_long": lambda: _chain_long(4, ks=(1, 17), score_width=12, parity_reads=35),
+    # wrap-FIRING regime: 512-nt reads against the 512-nt query — exact
+    # self-score 2560 > the 12-bit +2047 ceiling
+    "biased_long_wrap_w1": lambda: _chain_long(
+        4, ks=(1,), score_width=12, parity_reads=20, n=512, B=16384),
+    "biased_long_wrap": lambda: _chain_long(
+        4, ks=(1, 17), score_width=12, parity_reads=20, n=512, B=16384),
     "chain_col": lambda: _chain_col("int32"),
     "chain_col_i16": lambda: _chain_col("int16"),
     "chain_col_f32": lambda: _chain_col("float32"),

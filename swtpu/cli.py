@@ -260,7 +260,6 @@ def cmd_serve(args) -> int:
     and the loop continues."""
     from swtpu.bank import ScoreBank
     from swtpu.config import Penalties, SWConfig
-    from swtpu.io.encode import encode_seq
     from swtpu.io.loader import load_encoded
 
     pen = Penalties(args.match, args.mismatch, args.gap_open, args.gap_extend)
@@ -284,53 +283,44 @@ def cmd_serve(args) -> int:
         )
     else:
         print(f"# serving {len(targets)} reads ({bank.backend})", file=sys.stderr)
+    from swtpu.server import ServeEngine, serve_socket
+
+    engine = ServeEngine(
+        bank, names, targets, db=db if use_loaded else None,
+        event_log=event_log,
+    )
+    if getattr(args, "socket", None) or getattr(args, "port", None):
+        # multi-client daemon (the PSLSE multi-context analog): any number
+        # of concurrent clients, one in-flight job each, device dispatch
+        # serialized by the engine lock (swtpu/server.py)
+        where = args.socket or f"127.0.0.1:{args.port}"
+        print(f"# serving on {where} (concurrent clients; SEQ/TOP/QUIT, "
+              "responses end with '.')", file=sys.stderr)
+        try:
+            serve_socket(engine, unix_path=args.socket, port=args.port)
+        except KeyboardInterrupt:
+            pass
+        finally:
+            if event_log is not None:
+                event_log.close()
+        print(f"# served {engine.served} queries", file=sys.stderr)
+        return 0
     inp = open(args.input) if args.input else sys.stdin
-    t_start = time.perf_counter()
-    served = 0
     try:
         for line in inp:
-            line = line.strip()
-            if not line or line.startswith("#"):
-                continue
-            try:
-                cmd, rest = (line.split(None, 1) + [""])[:2]
-                cmd = cmd.upper()
-                if cmd == "QUIT":
-                    break
-                if cmd == "SEQ":
-                    q = encode_seq(rest.strip())
-                    res = (
-                        bank.score_loaded(q, db, event_log=event_log)
-                        if use_loaded
-                        else bank.score_database(q, targets, event_log=event_log)
-                    )
-                    _emit(sys.stdout, names, res.scores, t_start)
-                    sys.stdout.flush()
-                elif cmd == "TOP":
-                    k_str, seq = rest.split(None, 1)
-                    q = encode_seq(seq.strip())
-                    top = (
-                        bank.topk_loaded(q, db, k=int(k_str), event_log=event_log)
-                        if use_loaded
-                        else bank.score_database(
-                            q, targets, event_log=event_log
-                        ).top_k(int(k_str))
-                    )
-                    for s, i in top:
-                        print(f"# top: >{names[i]} score: {s}")
-                    sys.stdout.flush()
-                else:
-                    raise ValueError(f"unknown command {cmd!r} (SEQ/TOP/QUIT)")
-                served += 1
-            except (ValueError, KeyError) as e:
-                print(f"# error: {e}")
+            resp = engine.handle(line)
+            if resp is None:  # QUIT
+                break
+            for out_line in resp:
+                print(out_line)
+            if resp:
                 sys.stdout.flush()
     finally:
         if args.input:
             inp.close()
         if event_log is not None:
             event_log.close()
-    print(f"# served {served} queries", file=sys.stderr)
+    print(f"# served {engine.served} queries", file=sys.stderr)
     return 0
 
 
@@ -521,6 +511,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     pv.add_argument(
         "--events", help="write per-query JSONL event log here "
         "(summarize with `swtpu events`)",
+    )
+    pv.add_argument(
+        "--socket", help="serve concurrent clients on this UNIX socket "
+        "path instead of stdin (PSLSE multi-context analog)",
+    )
+    pv.add_argument(
+        "--port", type=int, help="serve concurrent clients on this "
+        "localhost TCP port instead of stdin",
     )
     _add_pen_args(pv)
     pv.set_defaults(fn=cmd_serve)
