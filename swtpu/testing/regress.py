@@ -37,6 +37,7 @@ class MultihostResult:
     attempts: int
     killed_pids: List[int]
     bad_shards: List[int] = dataclasses.field(default_factory=list)
+    resumed_shards: List[int] = dataclasses.field(default_factory=list)
 
 
 def run_multihost(
@@ -55,6 +56,7 @@ def run_multihost(
     mode: str = "pairs",
     lens: Optional[np.ndarray] = None,
     shard_bounds: Optional[List] = None,
+    resume_dir: Optional[Path] = None,
 ) -> MultihostResult:
     """Score (q, t) across `nprocs` localhost processes; returns merged,
     cross-checked results.  If kill_worker is set, that worker is SIGKILLed
@@ -76,18 +78,36 @@ def run_multihost(
 
     shard_bounds: optional explicit [(lo, hi), ...] per process for RAGGED
     shard sizes (database mode; the stream path auto-negotiates the
-    cross-host geometry).  Default: equal split."""
+    cross-host geometry).  Default: equal split.
+
+    resume_dir: persistent directory for per-shard completion CURSORS (the
+    WED status/progress fields made durable, aligner_Header.h:28-49;
+    database mode only).  Each worker writes `shard_<pid>.npz` atomically
+    the moment its scores exist; a rerun (this attempt loop, or a whole
+    new driver run over the same directory) loads valid cursors from disk,
+    launches workers ONLY for unfinished shards (a smaller collective
+    world), and merges host-side — finished shards are never re-scored.
+    The merged top-K is recomputed by the driver with the canonical
+    (score desc, id asc) order, identical to the collective merge."""
     B = t.shape[0]
     if shard_bounds is None:
         assert B % nprocs == 0
     else:
         assert len(shard_bounds) == nprocs and shard_bounds[-1][1] == B
+    if resume_dir is not None:
+        assert mode == "database", "cursors are database-mode job state"
+        resume_dir = Path(resume_dir)
+        resume_dir.mkdir(parents=True, exist_ok=True)
+        if shard_bounds is None:
+            step = B // nprocs
+            shard_bounds = [(p * step, (p + 1) * step) for p in range(nprocs)]
     if lens is None:
         lens = np.full(B, t.shape[1], np.int32)
     # audit view: in database mode every row pairs the one query (tiled;
     # sentinel pads never change a score, so padded audits stay exact)
     q2d = np.tile(np.asarray(q)[None, :], (B, 1)) if mode == "database" else q
     killed: List[int] = []
+    resumed: List[int] = []
     for attempt in range(1, max_attempts + 1):
         with tempfile.TemporaryDirectory(prefix="swtpu_mh_") as td:
             tdp = Path(td)
@@ -99,12 +119,18 @@ def run_multihost(
             env["JAX_PLATFORMS"] = "cpu"
             env["JAX_PLATFORM_NAME"] = "cpu"
             env.pop("XLA_FLAGS", None)
-            for pid in range(nprocs):
+            cursors = {}
+            if resume_dir is not None:
+                cursors = _load_cursors(resume_dir, nprocs)
+                resumed = sorted(cursors)
+            launch = [p for p in range(nprocs) if p not in cursors]
+            world = len(launch)
+            for rank, pid in enumerate(launch):
                 out = tdp / f"out_{pid}.npz"
                 cmd = [
                     sys.executable, "-m", "swtpu.testing.worker",
                     "--coordinator", f"127.0.0.1:{port}",
-                    "--nprocs", str(nprocs), "--pid", str(pid),
+                    "--nprocs", str(world), "--pid", str(rank),
                     "--input", str(inp), "--output", str(out),
                     "--topk", str(topk),
                 ]
@@ -113,14 +139,16 @@ def run_multihost(
                 if shard_bounds is not None:
                     cmd += ["--lo", str(shard_bounds[pid][0]),
                             "--hi", str(shard_bounds[pid][1])]
+                if resume_dir is not None:
+                    cmd += ["--cursor", str(resume_dir / f"shard_{pid}.npz")]
                 procs.append(subprocess.Popen(cmd, env=env, cwd=str(Path(__file__).parents[2])))
-            do_kill = kill_worker is not None and attempt == 1
+            do_kill = kill_worker is not None and attempt == 1 and procs
             if do_kill:
                 time.sleep(kill_after_s)
-                procs[kill_worker].send_signal(signal.SIGKILL)
+                procs[min(kill_worker, len(procs) - 1)].send_signal(signal.SIGKILL)
                 killed.append(kill_worker)
             deadline = time.time() + timeout_s
-            rcs = [None] * nprocs
+            rcs = [None] * len(procs)
             while time.time() < deadline and any(r is None for r in rcs):
                 for i, p in enumerate(procs):
                     rcs[i] = p.poll()
@@ -130,12 +158,17 @@ def run_multihost(
                     p.kill()
             if any(rc != 0 for rc in rcs):
                 continue  # failure detected -> rerun
-            # merge + cross-check
+            # merge + cross-check (cursors count as delivered shards)
             scores = np.zeros((B,), np.int32)
             top_s = top_ids = None
             ok = True
             shard_rows_of = {}
+            for pid, d in cursors.items():
+                scores[d["local_rows"]] = d["local_scores"]
+                shard_rows_of[pid] = (d["local_rows"], d)
             for pid in range(nprocs):
+                if pid in cursors:
+                    continue
                 f = tdp / f"out_{pid}.npz"
                 if not f.exists():
                     ok = False
@@ -150,6 +183,13 @@ def run_multihost(
                         raise AssertionError("workers disagree on merged top-K")
             if not ok:
                 continue
+            if resume_dir is not None:
+                # resumed shards never joined this attempt's collective:
+                # the driver owns the merge — canonical (score desc, id
+                # asc), identical to _merge_topk's order
+                order = np.lexsort((ids, -scores))[:topk]
+                top_s = scores[order].astype(np.int32)
+                top_ids = ids[order].astype(np.int32)
             # device-boundary integrity pass (the parity/check_errors
             # analog): checksum, score bounds, then an independent oracle
             # audit of a few rows per shard — catches a shard whose
@@ -169,9 +209,32 @@ def run_multihost(
                 top_s = scores[order].astype(top_s.dtype)
                 top_ids = ids[order].astype(top_ids.dtype)
             return MultihostResult(
-                scores, top_s, top_ids, attempt, killed, list(bad)
+                scores, top_s, top_ids, attempt, killed, list(bad),
+                resumed_shards=resumed,
             )
     raise RuntimeError(f"multihost job failed after {max_attempts} attempts")
+
+
+def _load_cursors(resume_dir: Path, nprocs: int) -> dict:
+    """Valid per-shard completion cursors on disk: {pid: npz dict}.  A
+    cursor whose checksum fails (torn write, stale file) is discarded and
+    its shard re-scores."""
+    from swtpu.utils.guards import checksum
+
+    out = {}
+    for pid in range(nprocs):
+        f = resume_dir / f"shard_{pid}.npz"
+        if not f.exists():
+            continue
+        try:
+            d = dict(np.load(f))
+        except Exception:
+            continue
+        if {"local_rows", "local_scores", "checksum"} <= set(d) and int(
+            d["checksum"]
+        ) == checksum(np.asarray(d["local_scores"])):
+            out[pid] = d
+    return out
 
 
 def _find_bad_shards(q, t, shard_rows_of, audit_rows: int) -> List[int]:

@@ -30,6 +30,12 @@ def main(argv=None) -> int:
         "(database mode; default: equal split)",
     )
     ap.add_argument("--hi", type=int, default=-1)
+    ap.add_argument(
+        "--cursor", default="",
+        help="per-shard completion cursor file (WED status/progress analog, "
+        "aligner_Header.h:28-49): written atomically once this shard's "
+        "scores exist, so a rerun driver can resume the shard from disk",
+    )
     ap.add_argument("--delay-ms", type=int, default=0, help="injected startup delay")
     ap.add_argument(
         "--adversary", default="",
@@ -92,6 +98,21 @@ def main(argv=None) -> int:
             q, (t[lo:hi], lens[lo:hi]), ids[lo:hi], mesh=mesh, k=args.topk
         )
         local_rows = np.arange(lo, hi)
+        if args.cursor:
+            # per-shard completion cursor: scores + rows + checksum,
+            # written atomically (tmp + rename) the moment they exist —
+            # the WED job-progress field made durable
+            import os as _os
+
+            from swtpu.utils.guards import checksum as _csum
+
+            tmp = args.cursor + ".tmp.npz"
+            with open(tmp, "wb") as f:
+                np.savez(
+                    f, local_rows=local_rows, local_scores=local_scores,
+                    checksum=_csum(np.asarray(local_scores)),
+                )
+            _os.replace(tmp, args.cursor)
     else:
         sharding = NamedSharding(mesh, P("data", None))
         qg = jax.make_array_from_process_local_data(sharding, q[lo:hi])

@@ -165,3 +165,58 @@ def test_ragged_shards_auto_negotiate_geometry():
     host = sorted(zip(want.tolist(), (-ids).tolist()), reverse=True)[:4]
     assert got == [(s, -negi) for s, negi in host]
     assert res.attempts == 1
+
+
+@pytest.mark.multihost
+def test_resume_cursor_skips_finished_shards(tmp_path):
+    """Round-5 (VERDICT stretch #10): per-shard completion cursors (the
+    WED status/progress fields made durable).  A rerun over the same
+    resume_dir loads shard 0's cursor from disk, launches a worker ONLY
+    for shard 1, and merges host-side — the finished shard is provably
+    NOT re-scored (a marker planted in the cursor survives to the merged
+    result; audit disabled for this proof)."""
+    from swtpu.ops.common import T_PAD
+    from swtpu.testing.regress import run_multihost
+    from swtpu.utils.guards import checksum
+
+    rng = np.random.default_rng(7)
+    B, n = 12, 24
+    query = rng.integers(0, 4, size=10).astype(np.int8)
+    lens = rng.integers(4, n + 1, size=B).astype(np.int32)
+    t = np.full((B, n), T_PAD, np.int8)
+    for i in range(B):
+        t[i, : lens[i]] = rng.integers(0, 4, size=lens[i]).astype(np.int8)
+    targets = [t[i, : lens[i]] for i in range(B)]
+    want = score_many_vs_one(query, targets)
+    ids = np.arange(B, dtype=np.int32)
+    rdir = tmp_path / "job_state"
+    rdir.mkdir()
+    # shard 0 (rows 0..5) "completed in a previous run": write its cursor,
+    # with row 0 carrying a marker value a re-score would overwrite
+    s0 = want[:6].copy()
+    s0[0] = want[0] + 1  # marker stays inside the algebraic score bound
+    np.savez(
+        rdir / "shard_0.npz", local_rows=np.arange(6), local_scores=s0,
+        checksum=checksum(s0),
+    )
+    res = run_multihost(
+        query, t, ids, nprocs=2, topk=3, mode="database", lens=lens,
+        resume_dir=rdir, audit_rows=0,
+    )
+    assert res.resumed_shards == [0]
+    # shard 0 came from the cursor (marker intact) -> never re-scored
+    assert res.scores[0] == want[0] + 1
+    np.testing.assert_array_equal(res.scores[1:], want[1:])
+    # shard 1 was scored and wrote its own cursor for future reruns
+    assert (rdir / "shard_1.npz").exists()
+    # a THIRD run resumes both shards: no workers at all, same answer
+    res2 = run_multihost(
+        query, t, ids, nprocs=2, topk=3, mode="database", lens=lens,
+        resume_dir=rdir, audit_rows=0,
+    )
+    assert res2.resumed_shards == [0, 1]
+    np.testing.assert_array_equal(res2.scores, res.scores)
+    # the driver-side top-K keeps the canonical (score desc, id asc) order
+    order = np.lexsort((ids, -res.scores))[:3]
+    np.testing.assert_array_equal(res2.top_s, res.scores[order])
+    np.testing.assert_array_equal(res2.top_ids, ids[order])
