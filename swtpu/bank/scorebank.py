@@ -941,9 +941,9 @@ class ScoreBank:
                 ep = np.full((C,), -1, np.int32)
                 es[: hi - lo] = batch.emit_stream
                 ep[: hi - lo] = batch.emit_step.astype(np.int32)
-                from swtpu.bank.streams import detect_regular_emissions
-
-                regular = detect_regular_emissions(es, ep, S)
+                # full chunks reuse the packer's own pattern; the padded
+                # tail chunk (-1 rows) can never be regular
+                regular = batch.emit_regular if hi - lo == C else None
                 fut = ex.submit(dispatch, batch.q, stream, es, ep, regular)
                 chunk_padded = stream.shape[0] * Tq * (LANES // segments)
                 pending.append((lo, hi, fut, batch.cells, chunk_padded))

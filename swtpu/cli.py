@@ -67,9 +67,11 @@ def _load_all_queries(query_path: str):
 
 
 def _emit(out, names, scores, t_start):
+    from swtpu.server import format_score_line
+
     for name, s in zip(names, scores):
         ns = int((time.perf_counter() - t_start) * 1e9)
-        out.write(f"@{ns:>9}ns: \t{'>' + name:>10} score: \t{int(s):>10}\n")
+        out.write(format_score_line(name, s, ns) + "\n")
 
 
 def cmd_score(args) -> int:
@@ -289,15 +291,19 @@ def cmd_serve(args) -> int:
         bank, names, targets, db=db if use_loaded else None,
         event_log=event_log,
     )
-    if getattr(args, "socket", None) or getattr(args, "port", None):
+    use_socket = getattr(args, "socket", None)
+    use_port = getattr(args, "port", None)
+    if use_socket and use_port is not None:
+        raise SystemExit("--socket and --port are mutually exclusive")
+    if use_socket or use_port is not None:
         # multi-client daemon (the PSLSE multi-context analog): any number
         # of concurrent clients, one in-flight job each, device dispatch
         # serialized by the engine lock (swtpu/server.py)
-        where = args.socket or f"127.0.0.1:{args.port}"
+        where = use_socket or f"127.0.0.1:{use_port}"
         print(f"# serving on {where} (concurrent clients; SEQ/TOP/QUIT, "
               "responses end with '.')", file=sys.stderr)
         try:
-            serve_socket(engine, unix_path=args.socket, port=args.port)
+            serve_socket(engine, unix_path=use_socket or None, port=use_port)
         except KeyboardInterrupt:
             pass
         finally:

@@ -186,17 +186,28 @@ def _score_database_multihost_stream(
     stream = batch.stream
     T_local = stream.shape[2]
     R_local = batch.emit_stream.shape[1]
+    reg_local = batch.emit_regular or (-1, -1, -1)
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
         dims = np.asarray(
             multihost_utils.process_allgather(
-                np.array([T_local, R_local], np.int64)
+                np.array([T_local, R_local, *reg_local], np.int64)
             )
-        ).reshape(-1, 2)
+        ).reshape(-1, 5)
         T_all, R_all = int(dims[:, 0].max()), int(dims[:, 1].max())
+        # the strided-extract fast path is a STATIC arg: every process must
+        # trace the identical program, so it applies only when every host
+        # reports the same regular pattern AND the same R (no padding
+        # anywhere) — agreed here, in the same all-gather as the geometry
+        same_pattern = (dims[:, 2:] == dims[0, 2:]).all() and dims[0, 2] >= 0
+        same_r = (dims[:, 1] == dims[0, 1]).all()
+        emit_regular = tuple(int(x) for x in dims[0, 2:]) if (
+            same_pattern and same_r
+        ) else None
     else:
         T_all, R_all = T_local, R_local
+        emit_regular = batch.emit_regular
     if stream_steps is not None:
         if T_all > stream_steps:
             raise ValueError(
@@ -236,9 +247,7 @@ def _score_database_multihost_stream(
     scorer = make_sharded_stream_scorer(
         mesh, penalties=pen, interpret=interpret, k=k, rows=rows,
         state_dtype="float32" if on_tpu else "int32",
-        # the strided-extract fast path only composes when no host needed
-        # cross-host R padding (every host must trace the same program)
-        emit_regular=batch.emit_regular if R_all == R_local else None,
+        emit_regular=emit_regular,
     )
     s, top_s, top_ids = scorer(qg, sg, esg, epg, idsg)
     shards = sorted(s.addressable_shards, key=lambda x: x.index[0].start or 0)

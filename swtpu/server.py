@@ -21,11 +21,19 @@ connection open.
 
 from __future__ import annotations
 
+import os
 import socket
 import socketserver
 import threading
 import time
 from typing import List, Optional
+
+
+def format_score_line(name: str, score: int, ns: int) -> str:
+    """The RTL testbench's golden line format (`@<time>ns: >dbK score: S`,
+    ScoreBank/ScoreBank_v1_tb.sv:280-282) — ONE definition shared by the
+    CLI writer and the serve daemons so the formats can never drift."""
+    return f"@{ns:>9}ns: \t{'>' + name:>10} score: \t{int(score):>10}"
 
 
 class ServeEngine:
@@ -72,9 +80,7 @@ class ServeEngine:
                 out = []
                 for name, s in zip(self.names, res.scores):
                     ns = int((time.perf_counter() - self.t_start) * 1e9)
-                    out.append(
-                        f"@{ns:>9}ns: \t{'>' + name:>10} score: \t{int(s):>10}"
-                    )
+                    out.append(format_score_line(name, s, ns))
                 return out
             if cmd == "TOP":
                 k_str, seq = rest.split(None, 1)
@@ -131,6 +137,13 @@ def serve_socket(
     if (unix_path is None) == (port is None):
         raise ValueError("pass exactly one of unix_path / port")
     if unix_path is not None:
+        # SO_REUSEADDR is a no-op for AF_UNIX: a stale socket file from a
+        # previous daemon would fail the bind forever — unlink it first
+        try:
+            if os.path.exists(unix_path):
+                os.unlink(unix_path)
+        except OSError:
+            pass
         srv = _ThreadedUnixServer(unix_path, _Handler)
     else:
         srv = _ThreadedTCPServer(("127.0.0.1", port), _Handler)
@@ -144,6 +157,11 @@ def serve_socket(
         srv.serve_forever(poll_interval=0.1)
     finally:
         srv.server_close()
+        if unix_path is not None:
+            try:
+                os.unlink(unix_path)
+            except OSError:
+                pass
 
 
 def client_request(sock: socket.socket, line: str) -> List[str]:

@@ -94,6 +94,7 @@ def run_multihost(
         assert B % nprocs == 0
     else:
         assert len(shard_bounds) == nprocs and shard_bounds[-1][1] == B
+    job_fp = None
     if resume_dir is not None:
         assert mode == "database", "cursors are database-mode job state"
         resume_dir = Path(resume_dir)
@@ -101,6 +102,16 @@ def run_multihost(
         if shard_bounds is None:
             step = B // nprocs
             shard_bounds = [(p * step, (p + 1) * step) for p in range(nprocs)]
+        # job fingerprint: a cursor from a DIFFERENT job (stale resume_dir)
+        # must never merge — its rows could be out of range or its scores
+        # belong to another database
+        import zlib
+
+        job_fp = zlib.crc32(
+            np.ascontiguousarray(q).tobytes()
+            + np.ascontiguousarray(t).tobytes()
+            + np.ascontiguousarray(ids).tobytes()
+        ) & 0x7FFFFFFF
     if lens is None:
         lens = np.full(B, t.shape[1], np.int32)
     # audit view: in database mode every row pairs the one query (tiled;
@@ -121,7 +132,7 @@ def run_multihost(
             env.pop("XLA_FLAGS", None)
             cursors = {}
             if resume_dir is not None:
-                cursors = _load_cursors(resume_dir, nprocs)
+                cursors = _load_cursors(resume_dir, nprocs, job_fp, B)
                 resumed = sorted(cursors)
             launch = [p for p in range(nprocs) if p not in cursors]
             world = len(launch)
@@ -140,12 +151,18 @@ def run_multihost(
                     cmd += ["--lo", str(shard_bounds[pid][0]),
                             "--hi", str(shard_bounds[pid][1])]
                 if resume_dir is not None:
-                    cmd += ["--cursor", str(resume_dir / f"shard_{pid}.npz")]
+                    cmd += ["--cursor", str(resume_dir / f"shard_{pid}.npz"),
+                            "--cursor-fp", str(job_fp)]
                 procs.append(subprocess.Popen(cmd, env=env, cwd=str(Path(__file__).parents[2])))
-            do_kill = kill_worker is not None and attempt == 1 and procs
+            # kill the named SHARD's process (launch order shifts when
+            # resumed shards skip launching); a resumed shard can't be killed
+            do_kill = (
+                kill_worker is not None and attempt == 1
+                and kill_worker in launch
+            )
             if do_kill:
                 time.sleep(kill_after_s)
-                procs[min(kill_worker, len(procs) - 1)].send_signal(signal.SIGKILL)
+                procs[launch.index(kill_worker)].send_signal(signal.SIGKILL)
                 killed.append(kill_worker)
             deadline = time.time() + timeout_s
             rcs = [None] * len(procs)
@@ -215,10 +232,11 @@ def run_multihost(
     raise RuntimeError(f"multihost job failed after {max_attempts} attempts")
 
 
-def _load_cursors(resume_dir: Path, nprocs: int) -> dict:
+def _load_cursors(resume_dir: Path, nprocs: int, job_fp: int, B: int) -> dict:
     """Valid per-shard completion cursors on disk: {pid: npz dict}.  A
-    cursor whose checksum fails (torn write, stale file) is discarded and
-    its shard re-scores."""
+    cursor whose checksum fails (torn write), whose job fingerprint does
+    not match (stale resume_dir from a different job), or whose rows fall
+    outside this job's batch is discarded and its shard re-scores."""
     from swtpu.utils.guards import checksum
 
     out = {}
@@ -230,10 +248,16 @@ def _load_cursors(resume_dir: Path, nprocs: int) -> dict:
             d = dict(np.load(f))
         except Exception:
             continue
-        if {"local_rows", "local_scores", "checksum"} <= set(d) and int(
-            d["checksum"]
-        ) == checksum(np.asarray(d["local_scores"])):
-            out[pid] = d
+        if not {"local_rows", "local_scores", "checksum"} <= set(d):
+            continue
+        if int(d["checksum"]) != checksum(np.asarray(d["local_scores"])):
+            continue
+        if "job_fp" in d and int(d["job_fp"]) != job_fp:
+            continue
+        rows = np.asarray(d["local_rows"])
+        if rows.size and (rows.min() < 0 or rows.max() >= B):
+            continue
+        out[pid] = d
     return out
 
 

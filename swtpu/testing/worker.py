@@ -30,6 +30,8 @@ def main(argv=None) -> int:
         "(database mode; default: equal split)",
     )
     ap.add_argument("--hi", type=int, default=-1)
+    ap.add_argument("--cursor-fp", type=int, default=0,
+                    help="job fingerprint stored in the cursor")
     ap.add_argument(
         "--cursor", default="",
         help="per-shard completion cursor file (WED status/progress analog, "
@@ -111,6 +113,7 @@ def main(argv=None) -> int:
                 np.savez(
                     f, local_rows=local_rows, local_scores=local_scores,
                     checksum=_csum(np.asarray(local_scores)),
+                    job_fp=args.cursor_fp,
                 )
             _os.replace(tmp, args.cursor)
     else:

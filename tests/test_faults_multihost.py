@@ -220,3 +220,15 @@ def test_resume_cursor_skips_finished_shards(tmp_path):
     order = np.lexsort((ids, -res.scores))[:3]
     np.testing.assert_array_equal(res2.top_s, res.scores[order])
     np.testing.assert_array_equal(res2.top_ids, ids[order])
+    # a STALE cursor (different job fingerprint) is discarded, not merged:
+    # poison shard 1's cursor with a bogus fp — the shard re-scores and the
+    # marker-free true score comes back
+    d1 = dict(np.load(rdir / "shard_1.npz"))
+    d1["job_fp"] = np.int64(12345)
+    np.savez(rdir / "shard_1.npz", **d1)
+    res3 = run_multihost(
+        query, t, ids, nprocs=2, topk=3, mode="database", lens=lens,
+        resume_dir=rdir, audit_rows=0,
+    )
+    assert res3.resumed_shards == [0]  # only the valid cursor resumed
+    np.testing.assert_array_equal(res3.scores[6:], want[6:])
