@@ -24,6 +24,11 @@ QUEUES = {
     # round 5: extraction-tax isolation + regular-extract product path,
     # sharded loaded-db serving on mesh(1), biased long chain at 512 nt,
     # then a bench rehearsal to confirm the headline cache is intact
+    "r5c": [
+        (["experiments/tpu_step.py", "loaded_sharded_seg"], 1500),
+        (["experiments/tpu_step.py", "serve_socket_hw"], 1500),
+        (["bench.py"], 560),
+    ],
     "r5b": [
         (["experiments/tpu_step.py", "biased_long_wrap_w1"], 1500),
         (["experiments/tpu_step.py", "biased_long_wrap"], 1000),

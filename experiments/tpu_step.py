@@ -1004,6 +1004,128 @@ def _gather_ablate(B=1 << 18, n=128, S=512, rows=16, reps=4):
                 f"{b.cells/per/1e9:.1f} GCUPS")
 
 
+def _serve_socket_hw(B=1 << 18, n=128, n_clients=2, per_client=6):
+    """Round-5 stretch #9 on hardware: the multi-client socket daemon
+    fronting a DEVICE-RESIDENT database on the real chip — N concurrent
+    clients, SEQ + TOP interleaved, responses parity-checked, queries/s
+    measured (the PSLSE multi-context pattern at kernel speed)."""
+    import socket
+    import tempfile
+    import threading
+
+    from swtpu.bank.scorebank import ScoreBank
+    from swtpu.oracle import score_many_vs_one
+    from swtpu.server import ServeEngine, client_request, serve_socket
+    from swtpu.io.encode import CODE_BASES
+
+    rng = np.random.default_rng(0)
+    th = rng.integers(0, 4, size=(B, n)).astype(np.int8)
+    lens = np.full(B, n, np.int32)
+    bank = ScoreBank(backend="stream", interpret=False)
+    t0 = time.time()
+    db = bank.load_database((th, lens), max_query_len=128)
+    log(f"serve_socket_hw: loaded {B} reads in {time.time()-t0:.1f}s")
+    names = [f"db{i+1}" for i in range(B)]
+    engine = ServeEngine(bank, names, None, db=db)
+    path = tempfile.mktemp(prefix="swtpu_hw_", suffix=".sock")
+    ready = threading.Event()
+    th_srv = threading.Thread(
+        target=serve_socket,
+        kwargs=dict(engine=engine, unix_path=path, ready_event=ready),
+        daemon=True,
+    )
+    th_srv.start()
+    assert ready.wait(30)
+    srv = ready.server
+    queries = [rng.integers(0, 4, size=int(rng.integers(40, 129))).astype(np.int8)
+               for _ in range(n_clients * per_client)]
+    # (full 262Ki-read oracle per query is too slow here; correctness is
+    # covered by the response-shape checks + the SEQ 64-read parity window
+    # at the end — the kernels themselves are parity-proven elsewhere)
+    results = {}
+    errs = []
+
+    def client(cid):
+        try:
+            sck = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            sck.connect(path)
+            t0 = time.time()
+            n_ok = 0
+            for j in range(per_client):
+                qi = cid * per_client + j
+                seq = "".join(CODE_BASES[int(c)] for c in queries[qi])
+                top = client_request(sck, f"TOP 3 {seq}")
+                if len(top) != 3 or not top[0].startswith("# top:"):
+                    errs.append(f"client{cid} q{j}: bad TOP {top[:1]}")
+                    continue
+                n_ok += 1
+            dt = time.time() - t0
+            sck.sendall(b"QUIT\n")
+            sck.close()
+            results[cid] = (n_ok, dt)
+        except Exception as e:  # noqa: BLE001
+            errs.append(f"client{cid}: {e!r}")
+
+    # warm the kernel once through the engine (first client would pay it)
+    t0 = time.time()
+    engine.handle("TOP 1 " + "".join(CODE_BASES[int(c)] for c in queries[0]))
+    log(f"serve_socket_hw: warm dispatch {time.time()-t0:.0f}s")
+    threads = [threading.Thread(target=client, args=(c,)) for c in range(n_clients)]
+    t0 = time.time()
+    for t_ in threads:
+        t_.start()
+    for t_ in threads:
+        t_.join(300)
+    wall = time.time() - t0
+    total = sum(r[0] for r in results.values())
+    for e in errs[:5]:
+        log(f"  ERR {e}")
+    log(f"serve_socket_hw: {n_clients} concurrent clients x {per_client} "
+        f"TOP queries vs {B}-read resident db: {total} ok in {wall:.1f}s "
+        f"-> {total/wall:.1f} queries/s ({total/wall*B/1e6:.2f} Mreads/s agg)")
+    # parity: one SEQ answer vs the oracle on a 64-read window
+    seq = "".join(CODE_BASES[int(c)] for c in queries[0])
+    lines = engine.handle(f"SEQ {seq}")
+    got64 = np.array([int(l.rsplit("\t", 1)[1]) for l in lines[:64]], np.int32)
+    want64 = score_many_vs_one(queries[0], list(th[:64]))
+    log(f"serve_socket_hw parity first-64: "
+        f"{'OK' if np.array_equal(got64, want64) else 'MISMATCH'}")
+    srv.shutdown()
+
+
+def _loaded_sharded_seg(B=1 << 18, n=32, reps=4):
+    """Sharded segmented serving on mesh(1): a 32nt-class database loaded
+    segments=4 across the mesh (the short-read serving class that hit 4.5
+    Mreads/s single-chip in round 4)."""
+    from swtpu.bank.scorebank import ScoreBank
+    from swtpu.oracle import score_many_vs_one
+    from swtpu.parallel import make_mesh
+
+    rng = np.random.default_rng(0)
+    th = rng.integers(0, 4, size=(B, n)).astype(np.int8)
+    lens = np.full(B, n, np.int32)
+    bank = ScoreBank(backend="stream", interpret=False)
+    mesh = make_mesh(1)
+    t0 = time.time()
+    db = bank.load_database_sharded((th, lens), mesh, max_query_len=32)
+    log(f"loaded_sharded_seg: {B} reads in {time.time()-t0:.1f}s "
+        f"(segments={db.segments} rows={db.rows} regular={db.emit_regular})")
+    query = rng.integers(0, 4, size=32).astype(np.int8)
+    want64 = score_many_vs_one(query, list(th[:64]))
+    t0 = time.time()
+    r = bank.score_loaded_sharded(query, db)
+    log(f"score_loaded_sharded 32nt: compile+warm {time.time()-t0:.0f}s")
+    if not np.array_equal(r.scores[:64], want64):
+        log("PARITY MISMATCH")
+        return
+    best = 1e9
+    for _ in range(reps):
+        r = bank.score_loaded_sharded(query, db)
+        best = min(best, r.elapsed_s)
+    log(f"score_loaded_sharded 32nt: best {best*1e3:.0f} ms -> "
+        f"{B/best/1e6:.2f} Mreads/s per query, {r.cells/best/1e9:.1f} GCUPS e2e")
+
+
 STEPS = {
     "probe": probe,
     "parity": parity,
@@ -1146,6 +1268,8 @@ STEPS = {
         4, ks=(1,), score_width=12, parity_reads=20, n=512, B=16384),
     "biased_long_wrap": lambda: _chain_long(
         4, ks=(1, 17), score_width=12, parity_reads=20, n=512, B=16384),
+    "serve_socket_hw": _serve_socket_hw,
+    "loaded_sharded_seg": _loaded_sharded_seg,
     "chain_col": lambda: _chain_col("int32"),
     "chain_col_i16": lambda: _chain_col("int16"),
     "chain_col_f32": lambda: _chain_col("float32"),
