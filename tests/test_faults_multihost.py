@@ -232,3 +232,47 @@ def test_resume_cursor_skips_finished_shards(tmp_path):
     )
     assert res3.resumed_shards == [0]  # only the valid cursor resumed
     np.testing.assert_array_equal(res3.scores[6:], want[6:])
+
+
+@pytest.mark.multihost
+def test_emit_regular_agreed_across_processes():
+    """The strided-extract fast path is a STATIC jit arg: when one host's
+    shard is regular (equal-length reads) and the other's is ragged, the
+    geometry all-gather must agree on ONE program (here: the gather) —
+    divergent static args would trace different collective programs per
+    host and hang the job (round-5 review finding, fixed).  Also the
+    all-equal case where both hosts agree on the same pattern."""
+    from swtpu.ops.common import T_PAD
+    from swtpu.testing.regress import run_multihost
+
+    rng = np.random.default_rng(8)
+    n = 40
+    # shard 0: 8 equal-length reads (regular); shard 1: 8 ragged reads
+    lens = np.concatenate([
+        np.full(8, 20), rng.integers(4, n + 1, size=8)
+    ]).astype(np.int32)
+    B = 16
+    t = np.full((B, n), T_PAD, np.int8)
+    for i in range(B):
+        t[i, : lens[i]] = rng.integers(0, 4, size=lens[i]).astype(np.int8)
+    targets = [t[i, : lens[i]] for i in range(B)]
+    query = rng.integers(0, 4, size=16).astype(np.int8)
+    want = score_many_vs_one(query, targets)
+    ids = np.arange(B, dtype=np.int32)
+    res = run_multihost(
+        query, t, ids, nprocs=2, topk=3, mode="database", lens=lens,
+        timeout_s=120,
+    )
+    np.testing.assert_array_equal(res.scores, want)
+    # both shards regular and identical: the fast path engages on both
+    lens2 = np.full(B, 20, np.int32)
+    t2 = np.full((B, n), T_PAD, np.int8)
+    for i in range(B):
+        t2[i, :20] = rng.integers(0, 4, size=20).astype(np.int8)
+    targets2 = [t2[i, :20] for i in range(B)]
+    want2 = score_many_vs_one(query, targets2)
+    res2 = run_multihost(
+        query, t2, ids, nprocs=2, topk=3, mode="database", lens=lens2,
+        timeout_s=120,
+    )
+    np.testing.assert_array_equal(res2.scores, want2)

@@ -137,3 +137,67 @@ def test_cli_serve_socket_end_to_end(tmp_path):
     assert err[0].startswith("# error:")
     s.close()
     # daemon keeps running for the next client (thread is daemonic; no join)
+
+
+def test_tcp_port_serving(tmp_path):
+    """The TCP front-end (serve_socket(port=...)) speaks the same protocol."""
+    rng = np.random.default_rng(64)
+    engine, targets = _make_engine(rng, n_reads=4)
+    ready = threading.Event()
+    # OS-assigned free port: bind to 0 is not supported by the CLI branch
+    # (falsy), but serve_socket itself takes any port — pick a free one
+    import socket as socket_mod
+
+    with socket_mod.socket() as probe:
+        probe.bind(("127.0.0.1", 0))
+        port = probe.getsockname()[1]
+    th = threading.Thread(
+        target=serve_socket, kwargs=dict(engine=engine, port=port,
+                                         ready_event=ready),
+        daemon=True,
+    )
+    th.start()
+    assert ready.wait(10)
+    srv = ready.server
+    try:
+        s = socket.create_connection(("127.0.0.1", port), timeout=10)
+        q = rng.integers(0, 4, size=12).astype(np.int8)
+        lines = client_request(s, f"SEQ {_seq_str(q)}")
+        got = [int(l.rsplit("\t", 1)[1]) for l in lines]
+        assert got == list(score_many_vs_one(q, targets))
+        s.close()
+    finally:
+        srv.shutdown()
+
+
+def test_unix_socket_path_reusable(tmp_path):
+    """A stale AF_UNIX socket file from a dead daemon must not block the
+    next daemon (round-5 review finding: SO_REUSEADDR is a no-op for
+    AF_UNIX; the server unlinks stale paths)."""
+    rng = np.random.default_rng(65)
+    engine, targets = _make_engine(rng, n_reads=3)
+    path = str(tmp_path / "reuse.sock")
+    # simulate a stale socket file left by a crashed daemon
+    import socket as socket_mod
+
+    stale = socket_mod.socket(socket_mod.AF_UNIX, socket_mod.SOCK_STREAM)
+    stale.bind(path)
+    stale.close()  # file remains on disk
+    ready = threading.Event()
+    th = threading.Thread(
+        target=serve_socket, kwargs=dict(engine=engine, unix_path=path,
+                                         ready_event=ready),
+        daemon=True,
+    )
+    th.start()
+    assert ready.wait(10), "server failed to bind over the stale socket"
+    srv = ready.server
+    try:
+        s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        s.connect(path)
+        q = rng.integers(0, 4, size=10).astype(np.int8)
+        lines = client_request(s, f"SEQ {_seq_str(q)}")
+        assert len(lines) == 3
+        s.close()
+    finally:
+        srv.shutdown()
