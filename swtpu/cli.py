@@ -277,12 +277,29 @@ def cmd_serve(args) -> int:
     db = None
     if use_loaded:
         t0 = time.perf_counter()
-        db = bank.load_database(targets, max_query_len=args.max_query_len)
-        print(
-            f"# loaded {len(targets)} reads in "
-            f"{time.perf_counter()-t0:.2f}s (device-resident)",
-            file=sys.stderr,
-        )
+        if getattr(args, "sharded", False):
+            # mesh-resident serving: every visible device holds its shard
+            # (the MODULES-axis deployment; swtpu/bank/serving.py)
+            from swtpu.parallel import make_mesh
+
+            mesh = make_mesh()
+            db = bank.load_database_sharded(
+                targets, mesh, max_query_len=args.max_query_len
+            )
+            print(
+                f"# loaded {db.n_reads} reads across {db.n_shards} device "
+                f"shards in {time.perf_counter()-t0:.2f}s (mesh-resident)",
+                file=sys.stderr,
+            )
+        else:
+            db = bank.load_database(targets, max_query_len=args.max_query_len)
+            print(
+                f"# loaded {len(targets)} reads in "
+                f"{time.perf_counter()-t0:.2f}s (device-resident)",
+                file=sys.stderr,
+            )
+    elif getattr(args, "sharded", False):
+        raise SystemExit("--sharded requires the stream backend")
     else:
         print(f"# serving {len(targets)} reads ({bank.backend})", file=sys.stderr)
     from swtpu.server import ServeEngine, serve_socket
@@ -517,6 +534,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     pv.add_argument(
         "--events", help="write per-query JSONL event log here "
         "(summarize with `swtpu events`)",
+    )
+    pv.add_argument(
+        "--sharded", action="store_true",
+        help="hold the library resident across ALL visible devices "
+        "(mesh-sharded serving; queries broadcast, top-K merges "
+        "collectively)",
     )
     pv.add_argument(
         "--socket", help="serve concurrent clients on this UNIX socket "

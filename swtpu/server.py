@@ -42,10 +42,15 @@ class ServeEngine:
     device-dispatch lock."""
 
     def __init__(self, bank, names, targets, db=None, event_log=None):
+        from swtpu.bank.serving import ShardedLoadedDatabase
+
         self.bank = bank
         self.names = names
         self.targets = targets
-        self.db = db  # LoadedDatabase when the stream backend is live
+        # LoadedDatabase (single chip) or ShardedLoadedDatabase (mesh) when
+        # the stream backend is live; dispatch picks the matching methods
+        self.db = db
+        self._sharded = isinstance(db, ShardedLoadedDatabase)
         self.event_log = event_log
         self.t_start = time.perf_counter()
         self.served = 0
@@ -69,13 +74,15 @@ class ServeEngine:
             if cmd == "SEQ":
                 q = encode_seq(rest.strip())
                 with self._lock:
-                    res = (
-                        self.bank.score_loaded(q, self.db,
-                                               event_log=self.event_log)
-                        if self.db is not None
-                        else self.bank.score_database(
+                    if self.db is None:
+                        res = self.bank.score_database(
                             q, self.targets, event_log=self.event_log)
-                    )
+                    elif self._sharded:
+                        res = self.bank.score_loaded_sharded(
+                            q, self.db, event_log=self.event_log)
+                    else:
+                        res = self.bank.score_loaded(
+                            q, self.db, event_log=self.event_log)
                     self.served += 1
                 out = []
                 for name, s in zip(self.names, res.scores):
@@ -86,14 +93,18 @@ class ServeEngine:
                 k_str, seq = rest.split(None, 1)
                 q = encode_seq(seq.strip())
                 with self._lock:
-                    top = (
-                        self.bank.topk_loaded(q, self.db, k=int(k_str),
-                                              event_log=self.event_log)
-                        if self.db is not None
-                        else self.bank.score_database(
+                    if self.db is None:
+                        top = self.bank.score_database(
                             q, self.targets, event_log=self.event_log
                         ).top_k(int(k_str))
-                    )
+                    elif self._sharded:
+                        top = self.bank.topk_loaded_sharded(
+                            q, self.db, k=int(k_str),
+                            event_log=self.event_log)
+                    else:
+                        top = self.bank.topk_loaded(
+                            q, self.db, k=int(k_str),
+                            event_log=self.event_log)
                     self.served += 1
                 return [f"# top: >{self.names[i]} score: {s}" for s, i in top]
             raise ValueError(f"unknown command {cmd!r} (SEQ/TOP/QUIT)")

@@ -305,3 +305,39 @@ def test_regress_default_suite_reports_skips(capsys):
     out = capsys.readouterr().out
     assert "SKIP ds-1 lying_device" in out
     assert "2 skipped" in out
+
+
+def test_serve_sharded_mesh(tmp_path, capsys):
+    """`swtpu serve --sharded` holds the library resident across the whole
+    (virtual) mesh and serves SEQ/TOP through the shard_map path."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        import pytest as _pytest
+
+        _pytest.skip("needs multiple devices")
+    from swtpu.io.encode import CODE_BASES
+    from swtpu.oracle import score_many_vs_one
+    from swtpu.io.loader import load_encoded
+
+    lib = tmp_path / "lib.fa"
+    main(["generate", "-n", "7", "-L", "30", "-o", str(lib), "--seed", "19"])
+    rng = np.random.default_rng(20)
+    qcodes = rng.integers(0, 4, size=22)
+    seq = "".join(CODE_BASES[int(c)] for c in qcodes)
+    cmds = tmp_path / "s.txt"
+    cmds.write_text(f"SEQ {seq}\nTOP 2 {seq}\n")
+    assert main(["serve", "-l", str(lib), "--input", str(cmds),
+                 "--backend", "stream", "--sharded"]) == 0
+    cap = capsys.readouterr()
+    assert "device shards" in cap.err and "mesh-resident" in cap.err
+    libdb = load_encoded(str(lib))
+    reads = [libdb.read(i) for i, nm in enumerate(libdb.names)
+             if not nm.startswith("query")]
+    want = score_many_vs_one(qcodes.astype(np.int8), reads)
+    import re
+
+    scores = [int(x) for x in re.findall(r"score: \t\s*(-?\d+)", cap.out)]
+    assert scores == list(want)
+    top_lines = [l for l in cap.out.splitlines() if l.startswith("# top:")]
+    assert len(top_lines) == 2 and f"score: {max(want)}" in top_lines[0]
