@@ -219,6 +219,40 @@ def run_suite(
         outcomes.append(
             TestOutcome("multihost", -1, bool(np.array_equal(res.scores, want)))
         )
+        if "resume_cursor" in cfg["tests"]:
+            # WED-cursor recovery from the suite runner: a pre-seeded
+            # finished shard resumes from disk (one worker launched for
+            # the other shard), and the merged result is exact
+            import tempfile
+
+            from swtpu.ops.common import T_PAD
+
+            B2, n2 = 8, 24
+            lens2 = rng.integers(4, n2 + 1, size=B2).astype(np.int32)
+            t2 = np.full((B2, n2), T_PAD, np.int8)
+            for i in range(B2):
+                t2[i, : lens2[i]] = rng.integers(0, 4, size=lens2[i]).astype(np.int8)
+            q2 = rng.integers(0, 4, size=12).astype(np.int8)
+            want2 = score_many_vs_one(q2, [t2[i, : lens2[i]] for i in range(B2)])
+            with tempfile.TemporaryDirectory() as td2:
+                rd = Path(td2) / "cursors"
+                r1 = run_multihost(
+                    q2, t2, np.arange(B2, dtype=np.int32), nprocs=nprocs,
+                    mode="database", lens=lens2, resume_dir=rd,
+                )
+                r2 = run_multihost(
+                    q2, t2, np.arange(B2, dtype=np.int32), nprocs=nprocs,
+                    mode="database", lens=lens2, resume_dir=rd,
+                )
+            outcomes.append(
+                TestOutcome(
+                    "resume_cursor", -1,
+                    bool(np.array_equal(r1.scores, want2))
+                    and bool(np.array_equal(r2.scores, want2))
+                    and r2.resumed_shards == list(range(nprocs)),
+                    f"rerun resumed shards {r2.resumed_shards}",
+                )
+            )
         if "lying_device" in cfg["tests"]:
             # the Test-AFU analog: one shard's device returns wrong scores;
             # the driver must detect (checksum/oracle audit) and heal by
