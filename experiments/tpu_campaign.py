@@ -24,6 +24,10 @@ QUEUES = {
     # round 5: extraction-tax isolation + regular-extract product path,
     # sharded loaded-db serving on mesh(1), biased long chain at 512 nt,
     # then a bench rehearsal to confirm the headline cache is intact
+    "r5d": [
+        (["experiments/tpu_step.py", "chain_r16_c16_f32_w1"], 1500),
+        (["experiments/tpu_step.py", "chain_r16_c16_f32"], 900),
+    ],
     "r5c": [
         (["experiments/tpu_step.py", "loaded_sharded_seg"], 1500),
         (["experiments/tpu_step.py", "serve_socket_hw"], 1500),

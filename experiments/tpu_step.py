@@ -1268,6 +1268,13 @@ STEPS = {
         4, ks=(1,), score_width=12, parity_reads=20, n=512, B=16384),
     "biased_long_wrap": lambda: _chain_long(
         4, ks=(1, 17), score_width=12, parity_reads=20, n=512, B=16384),
+    # round-5 exploratory: chunk=16 at rows=16 f32 (the 512-step-unrolled
+    # body previously blew the compile budget; worth one 1500-s attempt
+    # now that the server cache turns compiles around fast)
+    "chain_r16_c16_f32_w1": lambda: _chain_stream(
+        512, ks=(1,), rows=16, chunk=16, state_dtype="float32"),
+    "chain_r16_c16_f32": lambda: _chain_stream(
+        512, ks=(1, 17), rows=16, chunk=16, state_dtype="float32"),
     "serve_socket_hw": _serve_socket_hw,
     "loaded_sharded_seg": _loaded_sharded_seg,
     "chain_col": lambda: _chain_col("int32"),
