@@ -399,10 +399,11 @@ def main():
     def emit(gcups):
         print(
             "# companion hardware records (BENCH_NOTES.md): PRODUCT sharded "
-            "shard_map + top-K + full extraction 403.4-403.9 GCUPS/chip "
+            "shard_map + top-K + full extraction 403-420 GCUPS/chip "
             "(round-5 strided extraction; was 269.7); wrap-parity W=12 "
             "293.6 short / 261.3 chained-512nt; sharded loaded-db serving "
-            "3.9-4.2 Mreads/s per query (mesh(1))",
+            "1.9-4.6 Mreads/s per query (mesh(1)); socket daemon on-chip "
+            "2 concurrent clients parity OK",
             file=sys.stderr,
         )
         print(

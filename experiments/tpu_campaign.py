@@ -24,6 +24,20 @@ QUEUES = {
     # round 5: extraction-tax isolation + regular-extract product path,
     # sharded loaded-db serving on mesh(1), biased long chain at 512 nt,
     # then a bench rehearsal to confirm the headline cache is intact
+    # r5e: re-warm every driver-visible executable at the new chunk=16
+    # flagship default, parity-check, then rehearse the exact driver bench
+    "r5e": [
+        (["experiments/tpu_step.py", "parity_r16_f32"], 1500),
+        (["experiments/tpu_step.py", "bench_warm_k1"], 1500),
+        (["experiments/tpu_step.py", "bench_warm_k33"], 1500),
+        (["experiments/tpu_step.py", "shmosaic_reg_w1"], 1500),
+        (["experiments/tpu_step.py", "shmosaic_reg_w33"], 1500),
+        (["experiments/tpu_step.py", "warm_entry"], 1500),
+        (["experiments/tpu_step.py", "loaded_sharded"], 1500),
+        (["experiments/tpu_step.py", "biased_long_w1"], 1500),
+        (["bench.py"], 560),
+        (["bench.py"], 560),
+    ],
     "r5d": [
         (["experiments/tpu_step.py", "chain_r16_c16_f32_w1"], 1500),
         (["experiments/tpu_step.py", "chain_r16_c16_f32"], 900),

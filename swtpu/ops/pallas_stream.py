@@ -695,7 +695,12 @@ def _strip_call(
             chunk = 8
         elif rows <= 1:
             chunk = STEP_CHUNK
-        elif rows <= 4:
+        elif rows <= 4 or rows == 16:
+            # rows=16 ran chunk=8 through round 4 purely for compile
+            # budget; the round-5 toolchain compiles the 16-step body in
+            # ~20 s and it measures +2.3% (423.7 vs 414 GCUPS,
+            # campaign_r5d chain_r16_c16_f32) — fewer grid iterations,
+            # better block pipelining.  rows=8 stays at 8 (unmeasured).
             chunk = 16
         else:
             chunk = 8
