@@ -26,6 +26,28 @@ QUEUES = {
     # then a bench rehearsal to confirm the headline cache is intact
     # r5e: re-warm every driver-visible executable at the new chunk=16
     # flagship default, parity-check, then rehearse the exact driver bench
+    # r5g: re-warm + re-prove the chained/segmented classes at the new
+    # chunk=16 defaults, then two final bench rehearsals
+    "r5g": [
+        (["experiments/tpu_step.py", "long_k4_w1"], 1500),
+        (["experiments/tpu_step.py", "long_k4_17"], 900),
+        (["experiments/tpu_step.py", "biased_long_w1"], 1500),
+        (["experiments/tpu_step.py", "biased_long"], 900),
+        (["experiments/tpu_step.py", "chain_r8_seg2_f32"], 1500),
+        (["experiments/tpu_step.py", "chain_r4_seg4_f32"], 1500),
+        (["experiments/tpu_step.py", "loaded_sharded"], 1500),
+        (["experiments/tpu_step.py", "loaded_db"], 1500),
+        (["bench.py"], 560),
+        (["bench.py"], 560),
+    ],
+    "r5f": [
+        (["experiments/tpu_step.py", "chain_r8_seg2_c16_w1"], 1500),
+        (["experiments/tpu_step.py", "chain_r8_seg2_c16"], 900),
+        (["experiments/tpu_step.py", "long_k4_c16_w1"], 1500),
+        (["experiments/tpu_step.py", "long_k4_c16"], 900),
+        (["experiments/tpu_step.py", "bench_warm_i32_k1"], 1500),
+        (["experiments/tpu_step.py", "bench_warm_i32_k33"], 1500),
+    ],
     "r5e": [
         (["experiments/tpu_step.py", "parity_r16_f32"], 1500),
         (["experiments/tpu_step.py", "bench_warm_k1"], 1500),

@@ -707,7 +707,7 @@ def warm_entry():
 
 
 def _chain_long(K, ks=(1, 5), state_dtype="float32", rows=16, S=512, B=65536,
-                score_width=None, parity_reads=64, n=128):
+                score_width=None, parity_reads=64, n=128, chunk=None):
     """Long-query chained-tile kernel (sw_scores_stream_long) throughput via
     the in-jit scan-chain method, with a parity window (vs the exact oracle,
     or the BIASED contract oracle when score_width is set — round-5
@@ -757,7 +757,7 @@ def _chain_long(K, ks=(1, 5), state_dtype="float32", rows=16, S=512, B=65536,
             q_c, acc = carry
             s = sw_scores_stream_long(
                 q_c, stream, es, ep, state_dtype=state_dtype, rows=rows,
-                score_width=score_width,
+                score_width=score_width, chunk=chunk,
             )
             v = s[0]
             q_n = jnp.where(v < -(2**30), q_c + jnp.int8(1), q_c)
@@ -1271,6 +1271,12 @@ STEPS = {
     # round-5 exploratory: chunk=16 at rows=16 f32 (the 512-step-unrolled
     # body previously blew the compile budget; worth one 1500-s attempt
     # now that the server cache turns compiles around fast)
+    "chain_r8_seg2_c16_w1": lambda: _chain_stream(
+        512, ks=(1,), rows=8, segments=2, chunk=16, state_dtype="float32"),
+    "chain_r8_seg2_c16": lambda: _chain_stream(
+        512, ks=(1, 17), rows=8, segments=2, chunk=16, state_dtype="float32"),
+    "long_k4_c16_w1": lambda: _chain_long(4, ks=(1,), chunk=16),
+    "long_k4_c16": lambda: _chain_long(4, ks=(1, 17), chunk=16),
     "chain_r16_c16_f32_w1": lambda: _chain_stream(
         512, ks=(1,), rows=16, chunk=16, state_dtype="float32"),
     "chain_r16_c16_f32": lambda: _chain_stream(

@@ -453,7 +453,9 @@ def _strip_call_chained(
     S = qT.shape[1]
     T = streamT.shape[0]
     if chunk is None:
-        chunk = 8 if (interpret or rows > 4) else 16
+        # 16-step bodies compile fast on the round-5 toolchain and run the
+        # K=4 chain at 341.7 vs 320.4 GCUPS (campaign_r5f long_k4_c16)
+        chunk = 8 if interpret else 16
     nc = T // chunk
     dt = jnp.dtype(state_dtype).type if state_dtype != "int32" else jnp.int32
     acc_rows = 16 if jnp.dtype(dt).itemsize == 2 else 8
@@ -506,7 +508,7 @@ def _shift_steps(x, k, fill=0):
     jax.jit,
     static_argnames=(
         "penalties", "interpret", "state_dtype", "rows", "score_width",
-        "emit_regular",
+        "emit_regular", "chunk",
     ),
 )
 def sw_scores_stream_long(
@@ -520,6 +522,7 @@ def sw_scores_stream_long(
     rows: int = 16,
     score_width=None,
     emit_regular=None,
+    chunk=None,
 ) -> jnp.ndarray:
     """Streamed wavefront scoring for queries longer than 128 bases: chains
     K = q.shape[1]/128 tiles of the multi-row kernel, carrying the row-127
@@ -547,7 +550,7 @@ def sw_scores_stream_long(
     return _long_impl(
         q, stream.T, emit_stream, emit_step, penalties, interpret,
         state_dtype, rows, score_width=score_width,
-        emit_regular=emit_regular,
+        emit_regular=emit_regular, chunk=chunk,
     )
 
 
@@ -600,7 +603,8 @@ def _validate_long(q, T, rows, state_dtype, interpret, penalties, n_streams,
 
 
 def _long_impl(q, sk, emit_stream, emit_step, penalties, interpret,
-               state_dtype, rows, score_width=None, emit_regular=None):
+               state_dtype, rows, score_width=None, emit_regular=None,
+               chunk=None):
     """Shared chained-tile body; sk is the kernel-layout [T, N] stream."""
     ma, mi, go, ge = penalties.astuple()
     N = q.shape[0]
@@ -624,6 +628,7 @@ def _long_impl(q, sk, emit_stream, emit_step, penalties, interpret,
         acc, oD, oG, oH = _strip_call_chained(
             qk, sk, bD, bG, bH, ma, mi, go, ge, interpret,
             state_dtype=state_dtype, rows=rows, score_width=score_width,
+            chunk=chunk,
         )
         # only the LAST tile's accumulator strip is the emission surface;
         # carry it (overwritten each tile) instead of stacking K strips
@@ -695,15 +700,14 @@ def _strip_call(
             chunk = 8
         elif rows <= 1:
             chunk = STEP_CHUNK
-        elif rows <= 4 or rows == 16:
-            # rows=16 ran chunk=8 through round 4 purely for compile
-            # budget; the round-5 toolchain compiles the 16-step body in
-            # ~20 s and it measures +2.3% (423.7 vs 414 GCUPS,
-            # campaign_r5d chain_r16_c16_f32) — fewer grid iterations,
-            # better block pipelining.  rows=8 stays at 8 (unmeasured).
-            chunk = 16
         else:
-            chunk = 8
+            # multi-row bodies ran chunk=8 through round 4 purely for
+            # compile budget; the round-5 toolchain compiles the 16-step
+            # bodies in ~20 s and they measure faster across the board
+            # (campaign_r5d/r5f): rows=16 414->428-444 GCUPS, rows=8
+            # seg=2 276.7->330.8 — fewer grid iterations, better block
+            # pipelining
+            chunk = 16
     nc = T // chunk
     dt = jnp.dtype(state_dtype).type if state_dtype != "int32" else jnp.int32
     # the tail-accumulator scratch holds one live row per segment but must
