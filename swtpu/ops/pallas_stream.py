@@ -546,7 +546,8 @@ def sw_scores_stream_long(
     Returns [n_reads] int32 scores.
     """
     _validate_long(q, stream.shape[1], rows, state_dtype, interpret,
-                   penalties, n_streams=q.shape[0], score_width=score_width)
+                   penalties, n_streams=q.shape[0], score_width=score_width,
+                   chunk=chunk)
     return _long_impl(
         q, stream.T, emit_stream, emit_step, penalties, interpret,
         state_dtype, rows, score_width=score_width,
@@ -588,10 +589,17 @@ def sw_scores_stream_long_kernel_layout(
 
 
 def _validate_long(q, T, rows, state_dtype, interpret, penalties, n_streams,
-                   score_width=None):
+                   score_width=None, chunk=None):
     _validate_config(
         1, interpret, rows, state_dtype, score_width, penalties
     )
+    if chunk is not None and (chunk <= 0 or T % chunk):
+        # nc = T // chunk would silently truncate the grid and leave the
+        # emission tail of the strip unwritten
+        raise ValueError(
+            f"chunk={chunk} must be a positive divisor of the stream "
+            f"length {T}"
+        )
     if q.shape[1] % LANES:
         raise ValueError(f"q width {q.shape[1]} must be a multiple of {LANES}")
     if T % STEP_CHUNK:

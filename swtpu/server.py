@@ -48,10 +48,24 @@ class ServeEngine:
         self.names = names
         self.targets = targets
         # LoadedDatabase (single chip) or ShardedLoadedDatabase (mesh) when
-        # the stream backend is live; dispatch picks the matching methods
+        # the stream backend is live; bind the matching dispatches ONCE
         self.db = db
-        self._sharded = isinstance(db, ShardedLoadedDatabase)
         self.event_log = event_log
+        if db is None:
+            self._score = lambda q: bank.score_database(
+                q, targets, event_log=event_log)
+            self._topk = lambda q, k: bank.score_database(
+                q, targets, event_log=event_log).top_k(k)
+        elif isinstance(db, ShardedLoadedDatabase):
+            self._score = lambda q: bank.score_loaded_sharded(
+                q, db, event_log=event_log)
+            self._topk = lambda q, k: bank.topk_loaded_sharded(
+                q, db, k=k, event_log=event_log)
+        else:
+            self._score = lambda q: bank.score_loaded(
+                q, db, event_log=event_log)
+            self._topk = lambda q, k: bank.topk_loaded(
+                q, db, k=k, event_log=event_log)
         self.t_start = time.perf_counter()
         self.served = 0
         # ONE device job in flight at a time: the bank is one device (the
@@ -74,15 +88,7 @@ class ServeEngine:
             if cmd == "SEQ":
                 q = encode_seq(rest.strip())
                 with self._lock:
-                    if self.db is None:
-                        res = self.bank.score_database(
-                            q, self.targets, event_log=self.event_log)
-                    elif self._sharded:
-                        res = self.bank.score_loaded_sharded(
-                            q, self.db, event_log=self.event_log)
-                    else:
-                        res = self.bank.score_loaded(
-                            q, self.db, event_log=self.event_log)
+                    res = self._score(q)
                     self.served += 1
                 out = []
                 for name, s in zip(self.names, res.scores):
@@ -93,18 +99,7 @@ class ServeEngine:
                 k_str, seq = rest.split(None, 1)
                 q = encode_seq(seq.strip())
                 with self._lock:
-                    if self.db is None:
-                        top = self.bank.score_database(
-                            q, self.targets, event_log=self.event_log
-                        ).top_k(int(k_str))
-                    elif self._sharded:
-                        top = self.bank.topk_loaded_sharded(
-                            q, self.db, k=int(k_str),
-                            event_log=self.event_log)
-                    else:
-                        top = self.bank.topk_loaded(
-                            q, self.db, k=int(k_str),
-                            event_log=self.event_log)
+                    top = self._topk(q, int(k_str))
                     self.served += 1
                 return [f"# top: >{self.names[i]} score: {s}" for s, i in top]
             raise ValueError(f"unknown command {cmd!r} (SEQ/TOP/QUIT)")

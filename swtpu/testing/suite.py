@@ -197,7 +197,7 @@ def run_suite(
     if not cfg.get("multihost", {}).get("enabled"):
         # a listed test that cannot run here must say so — no silently
         # skipped names in a suite report (round-4 verdict)
-        for name in ("multihost", "lying_device"):
+        for name in ("multihost", "lying_device", "resume_cursor"):
             if name == "multihost" or name in cfg["tests"]:
                 outcomes.append(
                     TestOutcome(

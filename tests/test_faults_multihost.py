@@ -261,7 +261,6 @@ def test_emit_regular_agreed_across_processes():
     ids = np.arange(B, dtype=np.int32)
     res = run_multihost(
         query, t, ids, nprocs=2, topk=3, mode="database", lens=lens,
-        timeout_s=120,
     )
     np.testing.assert_array_equal(res.scores, want)
     # both shards regular and identical: the fast path engages on both
@@ -273,6 +272,5 @@ def test_emit_regular_agreed_across_processes():
     want2 = score_many_vs_one(query, targets2)
     res2 = run_multihost(
         query, t2, ids, nprocs=2, topk=3, mode="database", lens=lens2,
-        timeout_s=120,
     )
     np.testing.assert_array_equal(res2.scores, want2)

@@ -144,21 +144,16 @@ def test_tcp_port_serving(tmp_path):
     rng = np.random.default_rng(64)
     engine, targets = _make_engine(rng, n_reads=4)
     ready = threading.Event()
-    # OS-assigned free port: bind to 0 is not supported by the CLI branch
-    # (falsy), but serve_socket itself takes any port — pick a free one
-    import socket as socket_mod
-
-    with socket_mod.socket() as probe:
-        probe.bind(("127.0.0.1", 0))
-        port = probe.getsockname()[1]
+    # port=0 = OS-assigned, race-free; read the bound port off the server
     th = threading.Thread(
-        target=serve_socket, kwargs=dict(engine=engine, port=port,
+        target=serve_socket, kwargs=dict(engine=engine, port=0,
                                          ready_event=ready),
         daemon=True,
     )
     th.start()
     assert ready.wait(10)
     srv = ready.server
+    port = srv.server_address[1]
     try:
         s = socket.create_connection(("127.0.0.1", port), timeout=10)
         q = rng.integers(0, 4, size=12).astype(np.int8)
