@@ -60,6 +60,9 @@ KS = tuple(
 # nonzero: measure the SCORE_WIDTH wrap-parity kernel instead (int32
 # biased lanes; parity checks against the biased contract oracle)
 SCORE_WIDTH = int(os.environ.get("SWTPU_BENCH_SCORE_WIDTH", "0")) or None
+# nonzero: override the kernel's grid-chunk (unrolled steps per grid
+# iteration) for A/B tuning runs
+CHUNK = int(os.environ.get("SWTPU_BENCH_CHUNK", "0")) or None
 
 
 # ---------------------------------------------------------------- stages --
@@ -131,6 +134,7 @@ def _measure_scan_chain(B, ks, reps, state_dtype=None):
             strip = _strip_call(
                 qk_c, sk, ma, mi, go, ge, False,
                 state_dtype=dtype, rows=ROWS, score_width=SCORE_WIDTH,
+                chunk=CHUNK,
             )
             v = strip[-1, 0]  # data-dependent scalar
             # force sequential dependence without changing the query values

@@ -28,6 +28,21 @@ QUEUES = {
     # flagship default, parity-check, then rehearse the exact driver bench
     # r5g: re-warm + re-prove the chained/segmented classes at the new
     # chunk=16 defaults, then two final bench rehearsals
+    # r5h: beyond chunk=16 — 32-step body + S re-sweep at the new chunk
+    "r5i": [
+        (["experiments/tpu_step.py", "bench_c32_w1"], 1500),
+        (["experiments/tpu_step.py", "bench_c32_w33"], 1500),
+        (["experiments/tpu_step.py", "bench_c32"], 560),
+        (["experiments/tpu_step.py", "bench_c32"], 560),
+        (["experiments/tpu_step.py", "bench_chain"], 560),
+        (["experiments/tpu_step.py", "bench_chain"], 560),
+    ],
+    "r5h": [
+        (["experiments/tpu_step.py", "chain_r16_c32_f32_w1"], 1500),
+        (["experiments/tpu_step.py", "chain_r16_c32_f32"], 900),
+        (["experiments/tpu_step.py", "chain_stream_r16_f32_s256"], 1500),
+        (["experiments/tpu_step.py", "chain_stream_r16_f32_s1024"], 1500),
+    ],
     "r5g": [
         (["experiments/tpu_step.py", "long_k4_w1"], 1500),
         (["experiments/tpu_step.py", "long_k4_17"], 900),

@@ -1184,6 +1184,12 @@ STEPS = {
     # graft-entry prewarm, long-query chained timing, many-vs-many timing
     "parity_r16_f32": lambda: _parity_rows(16, state_dtype="float32"),
     "parity_r8_f32": lambda: _parity_rows(8, state_dtype="float32"),
+    "bench_c32_w1": lambda: _bench_stage(
+        "stream_chain", SWTPU_BENCH_KS="1", SWTPU_BENCH_CHUNK="32"),
+    "bench_c32_w33": lambda: _bench_stage(
+        "stream_chain", SWTPU_BENCH_KS="33", SWTPU_BENCH_CHUNK="32"),
+    "bench_c32": lambda: _bench_stage(
+        "stream_chain", SWTPU_BENCH_CHUNK="32"),
     "bench_warm_k1": lambda: _bench_stage("stream_chain", SWTPU_BENCH_KS="1"),
     "bench_warm_k33": lambda: _bench_stage("stream_chain", SWTPU_BENCH_KS="33"),
     "bench_chain": lambda: _bench_stage("stream_chain"),
@@ -1277,6 +1283,10 @@ STEPS = {
         512, ks=(1, 17), rows=8, segments=2, chunk=16, state_dtype="float32"),
     "long_k4_c16_w1": lambda: _chain_long(4, ks=(1,), chunk=16),
     "long_k4_c16": lambda: _chain_long(4, ks=(1, 17), chunk=16),
+    "chain_r16_c32_f32_w1": lambda: _chain_stream(
+        512, ks=(1,), rows=16, chunk=32, state_dtype="float32"),
+    "chain_r16_c32_f32": lambda: _chain_stream(
+        512, ks=(1, 17), rows=16, chunk=32, state_dtype="float32"),
     "chain_r16_c16_f32_w1": lambda: _chain_stream(
         512, ks=(1,), rows=16, chunk=16, state_dtype="float32"),
     "chain_r16_c16_f32": lambda: _chain_stream(

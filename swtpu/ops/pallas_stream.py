@@ -706,15 +706,16 @@ def _strip_call(
     if chunk is None:
         if interpret:
             chunk = 8
-        elif rows <= 1:
+        elif rows <= 1 or rows == 16:
+            # full STEP_CHUNK unroll: multi-row bodies ran chunk=8 through
+            # round 4 purely for compile budget; the round-5 toolchain
+            # compiles the long bodies in ~20-60 s and they measure faster
+            # at every depth (campaign_r5d/r5f/r5i): rows=16 at chunk
+            # 8/16/32 = 414 / 424-427 / 435 GCUPS (back-to-back A/B, B=262Ki),
+            # rows=8 seg=2 at 16 = 330.8 (was 276.7) — fewer grid
+            # iterations, better block pipelining
             chunk = STEP_CHUNK
         else:
-            # multi-row bodies ran chunk=8 through round 4 purely for
-            # compile budget; the round-5 toolchain compiles the 16-step
-            # bodies in ~20 s and they measure faster across the board
-            # (campaign_r5d/r5f): rows=16 414->428-444 GCUPS, rows=8
-            # seg=2 276.7->330.8 — fewer grid iterations, better block
-            # pipelining
             chunk = 16
     nc = T // chunk
     dt = jnp.dtype(state_dtype).type if state_dtype != "int32" else jnp.int32
