@@ -29,6 +29,15 @@ QUEUES = {
     # r5g: re-warm + re-prove the chained/segmented classes at the new
     # chunk=16 defaults, then two final bench rehearsals
     # r5h: beyond chunk=16 — 32-step body + S re-sweep at the new chunk
+    "r5j": [
+        (["experiments/tpu_step.py", "biased_bench_w1"], 1500),
+        (["experiments/tpu_step.py", "biased_bench_w33"], 1500),
+        (["experiments/tpu_step.py", "biased_bench_chain"], 560),
+        (["experiments/tpu_step.py", "long_k4_c32_w1"], 1500),
+        (["experiments/tpu_step.py", "long_k4_c32"], 900),
+        (["experiments/tpu_step.py", "chain_r8_seg2_c32_w1"], 1500),
+        (["experiments/tpu_step.py", "chain_r8_seg2_c32"], 900),
+    ],
     "r5i": [
         (["experiments/tpu_step.py", "bench_c32_w1"], 1500),
         (["experiments/tpu_step.py", "bench_c32_w33"], 1500),

@@ -1283,6 +1283,12 @@ STEPS = {
         512, ks=(1, 17), rows=8, segments=2, chunk=16, state_dtype="float32"),
     "long_k4_c16_w1": lambda: _chain_long(4, ks=(1,), chunk=16),
     "long_k4_c16": lambda: _chain_long(4, ks=(1, 17), chunk=16),
+    "long_k4_c32_w1": lambda: _chain_long(4, ks=(1,), chunk=32),
+    "long_k4_c32": lambda: _chain_long(4, ks=(1, 17), chunk=32),
+    "chain_r8_seg2_c32_w1": lambda: _chain_stream(
+        512, ks=(1,), rows=8, segments=2, chunk=32, state_dtype="float32"),
+    "chain_r8_seg2_c32": lambda: _chain_stream(
+        512, ks=(1, 17), rows=8, segments=2, chunk=32, state_dtype="float32"),
     "chain_r16_c32_f32_w1": lambda: _chain_stream(
         512, ks=(1,), rows=16, chunk=32, state_dtype="float32"),
     "chain_r16_c32_f32": lambda: _chain_stream(
