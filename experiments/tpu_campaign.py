@@ -29,6 +29,13 @@ QUEUES = {
     # r5g: re-warm + re-prove the chained/segmented classes at the new
     # chunk=16 defaults, then two final bench rehearsals
     # r5h: beyond chunk=16 — 32-step body + S re-sweep at the new chunk
+    "r5k": [
+        (["experiments/tpu_step.py", "e2e_data1"], 1500),
+        (["experiments/tpu_step.py", "e2e_data100"], 1500),
+        (["experiments/tpu_step.py", "loaded_serve"], 1500),
+        (["experiments/tpu_step.py", "warm_entry"], 560),
+        (["bench.py"], 560),
+    ],
     "r5j": [
         (["experiments/tpu_step.py", "biased_bench_w1"], 1500),
         (["experiments/tpu_step.py", "biased_bench_w33"], 1500),
