@@ -29,6 +29,10 @@ QUEUES = {
     # r5g: re-warm + re-prove the chained/segmented classes at the new
     # chunk=16 defaults, then two final bench rehearsals
     # r5h: beyond chunk=16 — 32-step body + S re-sweep at the new chunk
+    "r5l": [
+        (["experiments/tpu_step.py", "bench_small_warm"], 1500),
+        (["experiments/tpu_step.py", "bench_col_stage"], 1500),
+    ],
     "r5k": [
         (["experiments/tpu_step.py", "e2e_data1"], 1500),
         (["experiments/tpu_step.py", "e2e_data100"], 1500),

@@ -1197,6 +1197,7 @@ STEPS = {
     "bench_warm_i32_k33": lambda: _bench_stage("stream_chain_i32", SWTPU_BENCH_KS="33"),
     "bench_chain_i32": lambda: _bench_stage("stream_chain_i32"),
     "bench_small_warm": lambda: _bench_stage("stream_small"),
+    "bench_col_stage": lambda: _bench_stage("column"),
     "warm_entry": warm_entry,
     "long_k2_w1": lambda: _chain_long(2, ks=(1,)),
     "long_k2": lambda: _chain_long(2, ks=(1, 5)),
