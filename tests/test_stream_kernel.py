@@ -549,3 +549,51 @@ def test_stream_long_regular_extraction():
         b.q, b.stream, b.emit_stream, b.emit_step.astype(np.int32),
         interpret=True, rows=4, emit_regular=b.emit_regular))
     np.testing.assert_array_equal(got, score_many_vs_one(q, list(t)))
+
+
+@pytest.mark.slow
+def test_fuzz_differential_regular_extraction():
+    """Seeded sweep over equal-length configs: the strided regular
+    extraction must be bit-identical to both the scattered gather and the
+    oracle across random (S, rows, segments, read length, batch) shapes —
+    incl. biased wrap mode."""
+    from swtpu.bank.streams import pack_streams
+    from swtpu.oracle import sw_score_single_biased
+    from swtpu.ops.pallas_stream import sw_scores_stream
+
+    rng = np.random.default_rng(0xF0522)
+    for it in range(8):
+        segments = int(rng.choice([1, 2, 4]))
+        rows = int(rng.choice([1, 2, 4]))
+        if (128 // rows) % segments:
+            segments = 1
+        S = S_(4) * segments
+        n = int(rng.integers(3, 40))
+        per = int(rng.integers(1, 5))
+        B = S * per
+        qlen = int(rng.integers(1, 128 // segments + 1))
+        W = int(rng.integers(6, 11)) if it % 2 else None
+        query = rng.integers(0, 4, size=qlen).astype(np.int8)
+        t = rng.integers(0, 4, size=(B, n)).astype(np.int8)
+        if W is not None:
+            t[0, :] = np.resize(query, n)  # push toward the wrap regime
+        b = pack_streams(query, list(t), n_streams=S, segments=segments,
+                         rows=rows)
+        assert b.emit_regular is not None, f"iter {it}: expected regular"
+        if W is None:
+            want = score_many_vs_one(query, list(t))
+        else:
+            want = np.array(
+                [sw_score_single_biased(query, tt, score_width=W)
+                 for tt in t], np.int32,
+            )
+        args = (b.q, b.stream, b.emit_stream, b.emit_step.astype(np.int32))
+        kw = dict(interpret=INTERPRET, segments=segments, rows=rows,
+                  score_width=W)
+        fast = np.asarray(sw_scores_stream(
+            *args, emit_regular=b.emit_regular, **kw))
+        slow = np.asarray(sw_scores_stream(*args, **kw))
+        msg = (f"iter {it}: S={S} rows={rows} seg={segments} n={n} "
+               f"per={per} qlen={qlen} W={W}")
+        np.testing.assert_array_equal(fast, want, err_msg=msg + " (fast)")
+        np.testing.assert_array_equal(slow, want, err_msg=msg + " (slow)")
