@@ -29,6 +29,12 @@ QUEUES = {
     # r5g: re-warm + re-prove the chained/segmented classes at the new
     # chunk=16 defaults, then two final bench rehearsals
     # r5h: beyond chunk=16 — 32-step body + S re-sweep at the new chunk
+    "r5m": [
+        (["experiments/tpu_step.py", "bench_warm_i32_k1"], 1500),
+        (["experiments/tpu_step.py", "bench_warm_i32_k33"], 1500),
+        (["experiments/tpu_step.py", "bench_chain_i32"], 560),
+        (["bench.py"], 560),
+    ],
     "r5l": [
         (["experiments/tpu_step.py", "bench_small_warm"], 1500),
         (["experiments/tpu_step.py", "bench_col_stage"], 1500),
