@@ -29,6 +29,9 @@ QUEUES = {
     # r5g: re-warm + re-prove the chained/segmented classes at the new
     # chunk=16 defaults, then two final bench rehearsals
     # r5h: beyond chunk=16 — 32-step body + S re-sweep at the new chunk
+    "r5n": [
+        (["experiments/tpu_step.py", "serve_socket_hw"], 1500),
+    ],
     "r5m": [
         (["experiments/tpu_step.py", "bench_warm_i32_k1"], 1500),
         (["experiments/tpu_step.py", "bench_warm_i32_k33"], 1500),

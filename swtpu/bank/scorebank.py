@@ -570,15 +570,15 @@ class ScoreBank:
         on-chip (two-level O(n) pass) and only 2k scalars cross D2H —
         for serving workloads that never need the full score vector.
         Tie order matches ScoreResult.top_k (score desc, id asc)."""
-        import jax.numpy as jnp
-
-        from swtpu.parallel.sharded import local_topk_jit
-
         t0 = time.perf_counter()
-        dev = self._dispatch_loaded(query, db)
-        ids = jnp.arange(db.n_reads, dtype=jnp.int32)
-        fs, fids = local_topk_jit(dev, ids, min(k, db.n_reads))
-        fs, fids = np.asarray(fs), np.asarray(fids)
+        devs = self._dispatch_topk_loaded(query, db, k)
+        return self._finish_topk_loaded(devs, query, db, t0,
+                                        event_log=event_log)
+
+    def _finish_topk_loaded(self, devs, query, db: LoadedDatabase, t0,
+                            event_log=None):
+        """Materializing half of topk_loaded (+ the serving event)."""
+        fs, fids = np.asarray(devs[0]), np.asarray(devs[1])
         if event_log is not None:
             from swtpu.utils import BatchEvent
 
@@ -589,7 +589,7 @@ class ScoreBank:
                     reads=db.n_reads,
                     cells=int(len(query)) * db.total_chars,
                     padded_cells=0,
-                    note=f"qlen={len(query)} k={k}",
+                    note=f"qlen={len(query)} k={len(fs)}",
                 )
             )
         return [(int(s), int(i)) for s, i in zip(fs, fids)]
@@ -628,6 +628,18 @@ class ScoreBank:
         from swtpu.bank.serving import topk_loaded_sharded
 
         return topk_loaded_sharded(self, query, db, k=k, event_log=event_log)
+
+    def _dispatch_topk_loaded(self, query, db: LoadedDatabase, k: int):
+        """Async half of topk_loaded: enqueue the kernel + on-device top-K
+        cut, return un-materialized (scores [k], ids [k]) device arrays —
+        lets serving front-ends pipeline dispatches across clients."""
+        import jax.numpy as jnp
+
+        from swtpu.parallel.sharded import local_topk_jit
+
+        dev = self._dispatch_loaded(query, db)
+        ids = jnp.arange(db.n_reads, dtype=jnp.int32)
+        return local_topk_jit(dev, ids, min(k, db.n_reads))
 
     def _score_pairs_stream_mixed(
         self,

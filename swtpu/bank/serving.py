@@ -356,11 +356,20 @@ def score_loaded_sharded(bank, query: np.ndarray, db: ShardedLoadedDatabase,
     """Score `query` against the mesh-resident database; returns a
     read-order ScoreResult (the full score vector, gathered across
     shards)."""
+    t0 = time.perf_counter()
+    s_g = dispatch_loaded_sharded(query, db)
+    return finish_loaded_sharded(bank, query, db, s_g, t0,
+                                 event_log=event_log)
+
+
+def finish_loaded_sharded(bank, query: np.ndarray, db: ShardedLoadedDatabase,
+                          s_g, t0, event_log=None):
+    """Materialize + scatter the async half's output (serving front-ends
+    call dispatch under their job lock and finish outside it, so clients
+    pipeline)."""
     from swtpu.bank.scorebank import ScoreResult
     from swtpu.bank.streams import LANES
 
-    t0 = time.perf_counter()
-    s_g = dispatch_loaded_sharded(query, db)
     shard_scores = np.asarray(s_g)  # [D, R]
     scores = np.zeros(db.n_reads, np.int32)
     live = db.ids_host >= 0

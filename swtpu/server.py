@@ -48,24 +48,62 @@ class ServeEngine:
         self.names = names
         self.targets = targets
         # LoadedDatabase (single chip) or ShardedLoadedDatabase (mesh) when
-        # the stream backend is live; bind the matching dispatches ONCE
+        # the stream backend is live.  Bind split dispatch/finish pairs
+        # ONCE: the job lock covers only the (cheap, ordering-relevant)
+        # async dispatch; materialization happens outside it, so while
+        # client A waits on its kernel, client B's is already enqueued —
+        # jobs pipeline across clients (the toggle/double-buffering intent
+        # at daemon scope).  Device-side execution order = dispatch order.
         self.db = db
         self.event_log = event_log
         if db is None:
-            self._score = lambda q: bank.score_database(
+            # bucketed CPU fallback: no async halves; full job under lock
+            self._score_dispatch = lambda q: bank.score_database(
                 q, targets, event_log=event_log)
-            self._topk = lambda q, k: bank.score_database(
+            self._score_finish = lambda q, res, t0: res
+            self._topk_dispatch = lambda q, k: bank.score_database(
                 q, targets, event_log=event_log).top_k(k)
+            self._topk_finish = lambda devs: devs
         elif isinstance(db, ShardedLoadedDatabase):
-            self._score = lambda q: bank.score_loaded_sharded(
-                q, db, event_log=event_log)
-            self._topk = lambda q, k: bank.topk_loaded_sharded(
-                q, db, k=k, event_log=event_log)
+            from swtpu.bank.serving import (
+                dispatch_loaded_sharded, finish_loaded_sharded,
+            )
+            import numpy as _np
+
+            self._score_dispatch = lambda q: dispatch_loaded_sharded(q, db)
+            self._score_finish = lambda q, dev, t0: finish_loaded_sharded(
+                bank, q, db, dev, t0, event_log=event_log)
+            self._topk_dispatch = lambda q, k: (
+                time.perf_counter(), q,
+                dispatch_loaded_sharded(
+                    q, db, k=min(k, db.n_reads) or 1, full_scores=False),
+            )
+
+            def _fin_topk(st):
+                t0, q, devs = st
+                fs, fids = _np.asarray(devs[0]), _np.asarray(devs[1])
+                if event_log is not None:
+                    from swtpu.utils import BatchEvent
+
+                    event_log.emit(BatchEvent(
+                        "loaded_sharded_topk", t_wall=time.time(),
+                        elapsed_s=time.perf_counter() - t0,
+                        reads=db.n_reads,
+                        cells=int(len(q)) * db.total_chars, padded_cells=0,
+                        note=f"qlen={len(q)} k={len(fs)} shards={db.n_shards}",
+                    ))
+                return [(int(s), int(i)) for s, i in zip(fs, fids) if i >= 0]
+
+            self._topk_finish = _fin_topk
         else:
-            self._score = lambda q: bank.score_loaded(
-                q, db, event_log=event_log)
-            self._topk = lambda q, k: bank.topk_loaded(
-                q, db, k=k, event_log=event_log)
+            self._score_dispatch = lambda q: bank._dispatch_loaded(q, db)
+            self._score_finish = lambda q, dev, t0: bank._finish_loaded(
+                dev, q, db, t0, event_log=event_log)
+            self._topk_dispatch = lambda q, k: (
+                time.perf_counter(), q, bank._dispatch_topk_loaded(q, db, k)
+            )
+            self._topk_finish = lambda st: bank._finish_topk_loaded(
+                st[2], st[1], db, st[0], event_log=event_log)
         self.t_start = time.perf_counter()
         self.served = 0
         # ONE device job in flight at a time: the bank is one device (the
@@ -87,9 +125,11 @@ class ServeEngine:
                 return None
             if cmd == "SEQ":
                 q = encode_seq(rest.strip())
+                t0 = time.perf_counter()
                 with self._lock:
-                    res = self._score(q)
+                    dev = self._score_dispatch(q)
                     self.served += 1
+                res = self._score_finish(q, dev, t0)
                 out = []
                 for name, s in zip(self.names, res.scores):
                     ns = int((time.perf_counter() - self.t_start) * 1e9)
@@ -99,8 +139,9 @@ class ServeEngine:
                 k_str, seq = rest.split(None, 1)
                 q = encode_seq(seq.strip())
                 with self._lock:
-                    top = self._topk(q, int(k_str))
+                    devs = self._topk_dispatch(q, int(k_str))
                     self.served += 1
+                top = self._topk_finish(devs)
                 return [f"# top: >{self.names[i]} score: {s}" for s, i in top]
             raise ValueError(f"unknown command {cmd!r} (SEQ/TOP/QUIT)")
         except (ValueError, KeyError) as e:

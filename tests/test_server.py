@@ -196,3 +196,34 @@ def test_unix_socket_path_reusable(tmp_path):
         s.close()
     finally:
         srv.shutdown()
+
+
+def test_serve_engine_pipelines_dispatch(tmp_path):
+    """The job lock covers only the async dispatch: by the time a result
+    materializes, the lock is free for the next client's dispatch (the
+    daemon-scope double-buffering contract)."""
+    rng = np.random.default_rng(66)
+    targets = [rng.integers(0, 4, size=int(rng.integers(8, 30))).astype(np.int8)
+               for _ in range(5)]
+    names = [f"db{i+1}" for i in range(5)]
+    bank = ScoreBank(backend="stream", interpret=True)
+    db = bank.load_database(targets)
+    engine = ServeEngine(bank, names, targets, db=db)
+    seen = {}
+    orig_score = engine._score_finish
+    orig_topk = engine._topk_finish
+    engine._score_finish = lambda q, dev, t0: (
+        seen.__setitem__("seq_locked", engine._lock.locked()),
+        orig_score(q, dev, t0),
+    )[1]
+    engine._topk_finish = lambda st: (
+        seen.__setitem__("top_locked", engine._lock.locked()),
+        orig_topk(st),
+    )[1]
+    q = rng.integers(0, 4, size=12).astype(np.int8)
+    lines = engine.handle(f"SEQ {_seq_str(q)}")
+    assert [int(l.rsplit("\t", 1)[1]) for l in lines] == list(
+        score_many_vs_one(q, targets))
+    top = engine.handle(f"TOP 2 {_seq_str(q)}")
+    assert len(top) == 2
+    assert seen == {"seq_locked": False, "top_locked": False}
