@@ -403,7 +403,7 @@ def main():
     def emit(gcups):
         print(
             "# companion hardware records (BENCH_NOTES.md): PRODUCT sharded "
-            "shard_map + top-K + full extraction 403-423 GCUPS/chip "
+            "shard_map + top-K + full extraction 403-430 GCUPS/chip "
             "(round-5 strided extraction; was 269.7); wrap-parity W=12 "
             "300.3 short / 266.4 chained-512nt; sharded loaded-db serving "
             "1.3-4.6 Mreads/s per query (mesh(1)); socket daemon on-chip "
