@@ -23,7 +23,7 @@ Layer map (TPU-native re-design of the reference's layers, SURVEY.md §1):
 from swtpu.config import SWConfig, Penalties, DEFAULT_PENALTIES
 from swtpu.oracle import sw_score_single, sw_score_batch, score_many_vs_one
 
-__version__ = "0.1.0"
+__version__ = "0.5.0"
 
 __all__ = [
     "SWConfig",
